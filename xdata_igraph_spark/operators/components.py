@@ -1,0 +1,256 @@
+"""Connected components — WCC (min-label propagation) and SCC
+(trim + forward-coloring + backward-reach).
+
+Reference semantics:
+- WCC: igraph_clusters_weak (/root/reference/src/components.c:88-161)
+  BFS-scans vertices in increasing id order and numbers components
+  0,1,2,… in scan order — equivalently, **component id = rank of the
+  component's minimum vertex id**. The distributed algorithm below
+  computes the min vertex id per component directly (label = smallest
+  id seen), then densifies, so the numbering is bit-identical to the
+  reference's.
+- SCC: igraph_clusters_strong (/root/reference/src/components.c:
+  163-273) is Kosaraju DFS whose numbering depends on sequential DFS
+  tie-breaking; the *partition* is unique, the numbering is
+  presentation. We return the canonical numbering (rank of min member
+  id) — tests compare the reference's output after the same canonical
+  relabel (contract documented in SURVEY.md §5).
+
+Scale design:
+- WCC label propagation converges in O(diameter) supersteps (a web
+  graph's WCC diameter is small); each superstep is one edge-size join
+  + vertex-size aggregate, with the symmetrized edge table shuffled
+  once, cached, and reused;
+- convergence is detected from the same aggregate that computes the
+  new labels (count of changed labels — one scalar action/superstep);
+- SCC does iterative trimming first (resolves all chain-shaped SCC
+  DAGs in one peeling loop) and only colors what remains — the
+  standard FW-BW-Trim decomposition for distributed SCC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from xdata_igraph_spark.graph import LinkGraph
+from xdata_igraph_spark.plans.superstep import SuperstepRunner
+
+
+def _densify_by_min_id(labels: DataFrame, label_col: str = "label") -> DataFrame:
+    """(id, label=min-member-id) → (id, component) with components
+    numbered 0.. by ascending min member id — igraph's WCC numbering
+    (/root/reference/src/components.c:119-145).
+
+    The window runs over the (small) distinct-label table only, never
+    the full vertex table.
+    """
+    comps = labels.select(label_col).distinct()
+    ranked = comps.withColumn(
+        "component",
+        (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"),
+    )
+    return labels.join(F.broadcast(ranked), label_col).select("id", "component")
+
+
+def wcc(
+    graph: LinkGraph,
+    max_iter: int = 200,
+    checkpoint_dir: str | None = None,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Weakly connected components → (id: long, component: long)."""
+    spark = graph.spark
+    sym = (
+        graph.symmetrized()
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sym.count()
+
+    runner = runner or SuperstepRunner(spark, "wcc", checkpoint_dir=checkpoint_dir)
+    resumed = runner.resume()
+    if resumed is not None:
+        labels, start = resumed
+    else:
+        labels = graph.vertices().withColumn("label", F.col("id"))
+        start = 0
+
+    for it in range(start, max_iter):
+        msgs = (
+            labels.select(F.col("id").alias("src"), "label")
+            .join(sym, "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = labels.join(msgs, labels.id == msgs.dst, "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        new_labels = runner.materialize(new_labels, it)
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        runner.finish_iteration(it, float(changed))
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            labels = runner.finalize(labels, it, 0.0)
+            break
+
+    sym.unpersist()
+    return _densify_by_min_id(labels)
+
+
+def component_sizes(membership: DataFrame) -> DataFrame:
+    """csize analogue: (component, csize)."""
+    return membership.groupBy("component").agg(F.count("*").alias("csize"))
+
+
+def is_connected(graph: LinkGraph, mode: str = "weak") -> bool:
+    """igraph_is_connected (/root/reference/src/components.c:300-340)."""
+    m = wcc(graph) if mode == "weak" else scc(graph)
+    return m.select("component").distinct().count() <= 1
+
+
+def _min_propagate(
+    labels: DataFrame,
+    edges: DataFrame,
+    runner: SuperstepRunner,
+    phase: str,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Propagate min ``label`` along directed edges src→dst to fixpoint."""
+    for it in range(max_iter):
+        msgs = (
+            labels.select(F.col("id").alias("src"), "label")
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = labels.join(msgs, labels.id == msgs.dst, "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        new_labels = runner.materialize(new_labels, it)
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        runner.finish_iteration(it, float(changed), extra={"phase": phase})
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+    return labels
+
+
+def scc(
+    graph: LinkGraph,
+    max_rounds: int = 50,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Strongly connected components → (id, component), canonical
+    numbering (rank of min member id).
+
+    Algorithm: FW-Trim-coloring —
+    1. *trim*: peel vertices with zero in- or out-degree within the
+       active subgraph (each is its own singleton SCC); resolves any
+       DAG-shaped remainder without coloring rounds;
+    2. *color*: propagate min vertex id along forward edges to
+       fixpoint; a vertex whose color equals its own id is a root;
+    3. *backward reach*: from each root, follow reverse edges
+       restricted to its color class; everything reached is that
+       root's SCC; remove and repeat.
+    """
+    spark = graph.spark
+    runner = runner or SuperstepRunner(spark, "scc")
+    if not graph.directed:
+        return wcc(graph)
+
+    active_e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    active_v = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
+    assigned_parts: list[DataFrame] = []
+
+    for _round in range(max_rounds):
+        # --- trim loop: in-degree-0 / out-degree-0 peeling ---
+        while True:
+            srcs = active_e.select(F.col("src").alias("id")).distinct()
+            dsts = active_e.select(F.col("dst").alias("id")).distinct()
+            trivial = active_v.join(srcs, "id", "left_anti").unionByName(
+                active_v.join(dsts, "id", "left_anti")
+            ).distinct()
+            trivial = trivial.localCheckpoint(eager=True)
+            n_triv = trivial.count()
+            if n_triv == 0:
+                break
+            # localCheckpoint the part: the `id AS label` alias otherwise
+            # carries an equality constraint that trips Catalyst's
+            # Union.rewriteConstraints when the parts are unioned later
+            assigned_parts.append(
+                trivial.select("id", F.col("id").alias("label")).localCheckpoint(True)
+            )
+            active_v = active_v.join(trivial, "id", "left_anti").localCheckpoint(True)
+            active_e = (
+                active_e.join(trivial.withColumnRenamed("id", "src"), "src", "left_anti")
+                .join(trivial.withColumnRenamed("id", "dst"), "dst", "left_anti")
+                .select("src", "dst")
+                .localCheckpoint(True)
+            )
+        if active_v.count() == 0:
+            break
+
+        # --- forward coloring: min id along out-edges ---
+        colors = _min_propagate(
+            active_v.withColumn("label", F.col("id")), active_e, runner, "color"
+        ).withColumnRenamed("label", "color")
+
+        # --- backward reach from roots within color class ---
+        rev = active_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        # edge u→v in original == rev edge v→u; restrict both ends to same color
+        csrc = colors.select(F.col("id").alias("src"), F.col("color").alias("c1"))
+        cdst = colors.select(F.col("id").alias("dst"), F.col("color").alias("c2"))
+        rev_same = (
+            rev.join(csrc, "src").join(cdst, "dst").filter(F.col("c1") == F.col("c2"))
+            .select("src", "dst")
+            .localCheckpoint(True)
+        )
+        reached = (
+            colors.filter(F.col("id") == F.col("color"))
+            .select("id", F.col("color").alias("label"))
+            .localCheckpoint(True)
+        )
+        frontier = reached
+        for _bfs in range(200):
+            nxt = (
+                frontier.select(F.col("id").alias("src"), "label")
+                .join(rev_same, "src")
+                .select(F.col("dst").alias("id"), "label")
+                .distinct()
+                .join(reached, "id", "left_anti")
+                .localCheckpoint(True)
+            )
+            if nxt.count() == 0:
+                break
+            reached = reached.unionByName(nxt).localCheckpoint(True)
+            frontier = nxt
+        assigned_parts.append(reached.localCheckpoint(True))
+        active_v = active_v.join(reached, "id", "left_anti").localCheckpoint(True)
+        active_e = (
+            active_e.join(reached.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(reached.select(F.col("id").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(True)
+        )
+
+    labels = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        labels = labels.unionByName(p)
+    return _densify_by_min_id(labels)

@@ -1,0 +1,227 @@
+"""Label propagation communities — semi-synchronous, deterministic.
+
+Reference: igraph_community_label_propagation
+(/root/reference/src/community.c:2124-2340), Raghavan-Albert-Kumara.
+The reference is *asynchronous*: it shuffles vertex order each sweep
+(src/community.c:2245) and breaks dominant-label ties uniformly at
+random (src/community.c:2300-2301) — inherently nondeterministic, and
+its own tests assert only invariants or convergence-forced fixtures
+(tests/community.at:64; interfaces/python/igraph/test/
+decomposition.py:216-231).
+
+Distributed variant implemented here (contract documented in
+SURVEY.md §5): **synchronous sweeps with deterministic tie-breaking**
+(smallest label among the dominant ones). Matched semantics:
+
+- weights: a vertex adopts the label with the max total incident edge
+  weight among labeled neighbors (unweighted = max count)
+  (src/community.c:2250-2296);
+- ``initial`` labels with negatives meaning *unlabeled* (NULL here),
+  ``fixed`` vertices never update (src/community.c:2163-2232);
+  unlabeled neighbors contribute nothing (src/community.c:2260-2282);
+- directed graphs listen to IN-neighbors (src/community.c:2204-2210);
+  undirected use both endpoints;
+- post-processing renumbers labels 0..k-1 **in order of first
+  appearance by vertex id** (src/community.c:2320-2340) — the step that
+  makes the reference's "all converged to the fixed label" fixtures
+  come out as all-zeros.
+
+Synchronous LPA can 2-cycle on bipartite structures; the sweep cap
+bounds it, and the update only fires when the dominant weight strictly
+beats the current label's weight (damping that also matches the
+reference's "keep running while not dominant" criterion).
+
+Scale: one superstep = edge-size join + (dst,label)-keyed aggregate +
+per-dst argmax via max_by — two shuffles of message-size data; the
+symmetrized edge table is cached across sweeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from xdata_igraph_spark.graph import LinkGraph
+from xdata_igraph_spark.plans.superstep import SuperstepRunner
+
+
+def label_propagation(
+    graph: LinkGraph,
+    initial: DataFrame | None = None,
+    fixed: DataFrame | None = None,
+    weighted: bool = True,
+    max_sweeps: int = 50,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Communities → (id: long, label: long), labels dense 0..k-1 by
+    first appearance in vertex-id order.
+
+    ``initial``: (id, label) with label NULL or <0 meaning unlabeled.
+    ``fixed``: (id) set of vertices whose label never changes.
+    """
+    spark = graph.spark
+    runner = runner or SuperstepRunner(spark, "lpa")
+
+    # messages flow from the neighbor TO the updating vertex; the
+    # reference listens to IN-neighbors, so messages run along src→dst
+    # for directed graphs and both ways for undirected.
+    adj = (
+        graph.adjacency("out" if graph.directed else "all")
+        .filter(F.col("src") != F.col("dst"))
+    )
+    if not weighted:
+        adj = adj.withColumn("weight", F.lit(1.0))
+    adj = adj.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    adj.count()
+
+    verts = graph.vertices()
+    if initial is not None:
+        labels = verts.join(
+            initial.select(
+                "id",
+                F.when(F.col("label") >= 0, F.col("label"))
+                .otherwise(F.lit(None))
+                .cast("long")
+                .alias("label"),
+            ),
+            "id",
+            "left",
+        )
+    else:
+        labels = verts.withColumn("label", F.col("id"))
+    if fixed is not None:
+        labels = labels.join(
+            fixed.select("id").withColumn("_fx", F.lit(True)), "id", "left"
+        ).select("id", "label", F.coalesce("_fx", F.lit(False)).alias("fixed"))
+    else:
+        labels = labels.withColumn("fixed", F.lit(False))
+
+    for sweep in range(max_sweeps):
+        # neighbor label weight histogram per updating vertex
+        hist = (
+            labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label"))
+            .filter(F.col("nbr_label").isNotNull())
+            .join(adj, "src")
+            .groupBy("dst", "nbr_label")
+            .agg(F.sum("weight").alias("w"))
+        )
+        # dominant label per vertex: max weight, ties → smallest label
+        dominant = hist.groupBy("dst").agg(
+            F.max_by(
+                F.col("nbr_label"), F.struct(F.col("w"), -F.col("nbr_label"))
+            ).alias("dom_label"),
+            F.max("w").alias("dom_w"),
+        )
+        # current label's own weight (to update only on strict improvement
+        # and to evaluate the reference's dominance convergence criterion)
+        cur_w = (
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("cur"))
+            .join(hist, ["dst"])
+            .filter(F.col("nbr_label") == F.col("cur"))
+            .select("dst", F.col("w").alias("cur_w"))
+        )
+        upd = dominant.join(cur_w, "dst", "left").select(
+            "dst",
+            "dom_label",
+            (F.col("dom_w") > F.coalesce("cur_w", F.lit(0.0))).alias("improves"),
+        )
+        new_labels = labels.join(upd, labels.id == upd.dst, "left").select(
+            "id",
+            "fixed",
+            F.col("label").alias("_old"),
+            F.when(
+                (~F.col("fixed"))
+                & F.col("dom_label").isNotNull()
+                & (F.col("improves") | F.col("label").isNull()),
+                F.col("dom_label"),
+            )
+            .otherwise(F.col("label"))
+            .alias("label"),
+        )
+        new_labels = runner.materialize(new_labels, sweep)
+        changed = new_labels.filter(
+            ~(
+                (F.col("label") == F.col("_old"))
+                | (F.col("label").isNull() & F.col("_old").isNull())
+            )
+        ).count()
+        runner.finish_iteration(sweep, float(changed))
+        labels = new_labels.drop("_old")
+        if changed == 0:
+            break
+
+    adj.unpersist()
+    return renumber_first_appearance(labels.select("id", "label"))
+
+
+def renumber_first_appearance(labels: DataFrame) -> DataFrame:
+    """Labels → 0..k-1 by first appearance in ascending vertex id
+    (/root/reference/src/community.c:2320-2340). NULL labels (never
+    labeled — isolated vertices) each become their own community,
+    appended after, matching the reference's fresh-label assignment.
+
+    The ranking window runs over the distinct-label table (k rows).
+    """
+    firsts = labels.filter(F.col("label").isNotNull()).groupBy("label").agg(
+        F.min("id").alias("first_id")
+    )
+    ranked = firsts.withColumn(
+        "new_label",
+        (F.row_number().over(Window.orderBy("first_id")) - 1).cast("long"),
+    )
+    k = ranked.count()
+    labeled = labels.join(F.broadcast(ranked), "label").select(
+        "id", F.col("new_label").alias("label")
+    )
+    unlabeled = labels.filter(F.col("label").isNull()).select("id")
+    if unlabeled.limit(1).count() > 0:
+        fresh = unlabeled.withColumn(
+            "label",
+            (F.row_number().over(Window.orderBy("id")) - 1 + F.lit(k)).cast("long"),
+        )
+        labeled = labeled.unionByName(fresh)
+    return labeled
+
+
+def modularity(
+    graph: LinkGraph, membership: DataFrame, weighted: bool = True
+) -> float:
+    """Newman modularity of a partition (igraph_modularity,
+    /root/reference/src/community.c:837-940).
+
+    Q = Σ_c [ e_c/m − (d_c/(2m))² ] over communities c, with e_c the
+    total weight of intra-community edges, d_c the total strength of
+    the community's vertices, m the total edge weight. Directed graphs
+    are treated as undirected (the reference ignores direction here).
+    """
+    e = graph.edges.filter(F.col("src") != F.col("dst"))
+    if not weighted:
+        e = e.withColumn("weight", F.lit(1.0))
+    mem = membership.select("id", F.col(membership.columns[1]).alias("c"))
+    m_tot = e.agg(F.sum("weight")).first()[0]
+    if not m_tot:
+        return float("nan")
+    ej = (
+        e.join(mem.withColumnRenamed("id", "src").withColumnRenamed("c", "c_src"), "src")
+        .join(mem.withColumnRenamed("id", "dst").withColumnRenamed("c", "c_dst"), "dst")
+    )
+    intra = (
+        ej.filter(F.col("c_src") == F.col("c_dst"))
+        .groupBy("c_src")
+        .agg(F.sum("weight").alias("e_c"))
+        .withColumnRenamed("c_src", "c")
+    )
+    strength = (
+        ej.select(F.col("c_src").alias("c"), "weight")
+        .unionByName(ej.select(F.col("c_dst").alias("c"), "weight"))
+        .groupBy("c")
+        .agg(F.sum("weight").alias("d_c"))
+    )
+    parts = strength.join(intra, "c", "left").select(
+        (
+            F.coalesce("e_c", F.lit(0.0)) / F.lit(float(m_tot))
+            - (F.col("d_c") / (2.0 * float(m_tot))) ** 2
+        ).alias("q")
+    )
+    return float(parts.agg(F.sum("q")).first()[0])

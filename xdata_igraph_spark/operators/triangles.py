@@ -1,0 +1,162 @@
+"""Triangle counting & transitivity — degree-ordered orientation + two
+relational joins.
+
+Reference semantics (/root/reference/src/triangles.c):
+- edge directions are ignored and loops/multi-edges dropped before
+  counting (igraph_i_trans4_al_simplify, src/triangles.c:399-428);
+- the kernel orders vertices by degree and intersects higher-rank
+  adjacency (src/triangles.c:95-160) — the classic degree-ordered
+  orientation; we implement the same idea as a self-join: orient every
+  undirected edge from the endpoint with smaller (degree, id) to the
+  larger, build wedges with one join, close them with a second.
+  Each triangle is produced exactly once.
+- global transitivity = 6·T / Σ deg·(deg−1)
+  (src/triangles.c:617-700); local transitivity(v) =
+  triangles(v) / (deg(v)·(deg(v)−1)/2), with NaN-vs-0 selectable for
+  degree<2 vertices (mode flag, src/triangles.c:60-64).
+
+Scale design: orientation bounds the join fan-out by the graph's
+degeneracy — a hub of degree 10^7 has all its edges pointed *into* it,
+so it never explodes a wedge build (this is also the skew story: the
+wedge join's hot keys are capped at O(sqrt(m)) degree). The oriented
+edge table is computed once and reused by both joins; AQE handles
+residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from xdata_igraph_spark.graph import LinkGraph
+
+
+def _simple_undirected(graph: LinkGraph) -> DataFrame:
+    """Canonical simple undirected edges (a > b), loops/dups dropped."""
+    return (
+        graph.edges.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _oriented(graph: LinkGraph) -> DataFrame:
+    """Orient each simple edge low→high by (degree, id) rank.
+
+    Returns (lo, hi) where rank(lo) < rank(hi); rank is the lexicographic
+    (degree, id) order the reference uses (igraph_vector_order1 rank
+    array, /root/reference/src/triangles.c:100-107).
+    """
+    simple = _simple_undirected(graph)
+    deg = (
+        simple.select(F.col("a").alias("id"))
+        .union(simple.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    e = simple.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def list_triangles(graph: LinkGraph) -> DataFrame:
+    """Each triangle exactly once → (v1, v2, v3) with v1 oriented-lowest
+    (igraph_list_triangles, /root/reference/src/triangles.c:567-573)."""
+    ori = _oriented(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    wedge = (
+        ori.alias("e1")
+        .join(ori.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
+        .select(
+            F.col("e1.lo").alias("v1"),
+            F.col("e1.hi").alias("v2"),
+            F.col("e2.hi").alias("v3"),
+        )
+    )
+    closer = ori.select(F.col("lo").alias("v1"), F.col("hi").alias("v3"))
+    tri = wedge.join(closer, ["v1", "v3"], "left_semi")
+    return tri
+
+
+def count_triangles(graph: LinkGraph) -> int:
+    """Total number of triangles."""
+    return list_triangles(graph).count()
+
+
+def adjacent_triangles(graph: LinkGraph) -> DataFrame:
+    """Per-vertex triangle count → (id, triangles), zeros included
+    (igraph_adjacent_triangles, /root/reference/src/triangles.c:535-545)."""
+    tri = list_triangles(graph)
+    corners = (
+        tri.select(F.col("v1").alias("id"))
+        .union(tri.select(F.col("v2").alias("id")))
+        .union(tri.select(F.col("v3").alias("id")))
+    )
+    counts = corners.groupBy("id").agg(F.count("*").alias("triangles"))
+    return (
+        graph.vertices()
+        .join(counts, "id", "left")
+        .select("id", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )
+
+
+def transitivity_undirected(graph: LinkGraph, nan_if_empty: bool = True) -> float:
+    """Global clustering coefficient = 6·T / Σ deg(deg−1)
+    (igraph_transitivity_undirected, /root/reference/src/triangles.c:617-700)."""
+    simple = _simple_undirected(graph)
+    deg = (
+        simple.select(F.col("a").alias("id"))
+        .union(simple.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    triples = deg.agg(F.sum(F.col("deg") * (F.col("deg") - 1))).first()[0] or 0
+    if triples == 0:
+        return float("nan") if nan_if_empty else 0.0
+    t = count_triangles(graph)
+    return 6.0 * t / float(triples)
+
+
+def transitivity_local_undirected(
+    graph: LinkGraph, zero_if_undefined: bool = False
+) -> DataFrame:
+    """Per-vertex clustering coefficient → (id, transitivity)
+    (igraph_transitivity_local_undirected,
+    /root/reference/src/triangles.c:483-505). Degree<2 vertices get NaN
+    (default) or 0 per the reference's mode flag
+    (/root/reference/src/triangles.c:60-64)."""
+    simple = _simple_undirected(graph)
+    deg = (
+        simple.select(F.col("a").alias("id"))
+        .union(simple.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = adjacent_triangles(graph)
+    undef = F.lit(0.0) if zero_if_undefined else F.lit(float("nan"))
+    return (
+        graph.vertices()
+        .join(deg, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce("deg", F.lit(0)) < 2, undef
+            )
+            .otherwise(
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1))
+            )
+            .alias("transitivity"),
+        )
+    )
