@@ -1,0 +1,120 @@
+"""Corpus generation + extraction byte-identity + ingest pipeline
+(FIXTURES.md §1-2; north-rule per-row invariant)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from xdata_igraph_spark.functions.extract import extract_links, extract_text
+from xdata_igraph_spark.pipeline import build_vertices, pages_to_graph
+from xdata_igraph_spark.sources.corpus import synthetic_pages
+from xdata_igraph_spark.sources.readers import read_edgelist, read_ncol
+from xdata_igraph_spark.sources.writers import write_edgelist, write_ncol
+from xdata_igraph_spark.graph import LinkGraph
+
+
+def test_corpus_shape(spark):
+    pages = synthetic_pages(spark, 200)
+    assert pages.count() == 200
+    row = pages.filter(F.col("page_id") == 0).first()
+    assert row["url"] == "https://site0000.example/p000000"
+    assert row["lang"] == "en"
+    assert row["warc_ts"].isoformat().startswith("2026-01-01T00:00:00")
+    row3 = pages.filter(F.col("page_id") == 3).first()
+    assert row3["lang"] == "de"
+    # hub page 0 and 100 have 50..249 links; others 1..5
+    html0 = row3["html"].decode("utf-8")
+    assert html0.startswith("<html><head><title>T3</title>")
+
+
+def test_extract_text_byte_identity(spark):
+    """THE invariant: extractor output == generated text, byte for byte,
+    for every url (input_hint)."""
+    pages = synthetic_pages(spark, 300)
+    mismatches = (
+        pages.withColumn("extracted", extract_text("html"))
+        .filter(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_extract_text_python_reference(spark):
+    """The pandas UDF agrees with a direct Python application of the
+    spec on raw bytes (independent re-implementation)."""
+    pages = synthetic_pages(spark, 50).select("html", "text").collect()
+    for r in pages:
+        raw = r["html"].decode("utf-8")
+        txt = re.sub(r"<[^>]*>", "", raw)
+        txt = re.sub(r"[ \t\r\n]+", " ", txt).strip(" ")
+        assert txt == r["text"]
+
+
+def test_extract_links_spec(spark):
+    """Spec details: document order, http(s) filter, fragment strip."""
+    html = (
+        '<html><body><a href="https://a.example/x#frag">L1</a>'
+        '<a href="ftp://bad.example/y">L2</a>'
+        '<a href="http://b.example/z">L3</a></body></html>'
+    ).encode()
+    df = spark.createDataFrame([(html,)], "html binary")
+    links = df.select(extract_links("html").alias("l")).first()["l"]
+    assert links == ["https://a.example/x", "http://b.example/z"]
+
+
+def test_build_vertices_dense_sorted(spark):
+    pages = synthetic_pages(spark, 150)
+    verts = build_vertices(pages)
+    rows = sorted((r["id"], r["url"]) for r in verts.collect())
+    assert [i for i, _ in rows] == list(range(150))
+    urls = [u for _, u in rows]
+    assert urls == sorted(urls)  # id order == url sort order
+
+
+def test_pages_to_graph(spark):
+    pages = synthetic_pages(spark, 200)
+    g, verts = pages_to_graph(pages, return_vertices=True)
+    assert g.vcount() == 200
+    m = g.ecount()
+    assert m > 0
+    # no self-loops; all endpoints in range
+    assert g.edges.filter(F.col("src") == F.col("dst")).count() == 0
+    mx = g.edges.agg(F.max("src"), F.max("dst")).first()
+    assert mx[0] < 200 and mx[1] < 200
+    # weights = link occurrence counts ≥ 1
+    assert g.edges.filter(F.col("weight") < 1).count() == 0
+    # determinism: regenerating gives the identical edge multiset
+    g2 = pages_to_graph(synthetic_pages(spark, 200))
+    assert g2.edges.exceptAll(g.edges).count() == 0
+    assert g.edges.exceptAll(g2.edges).count() == 0
+
+
+def test_hub_skew_exists(spark):
+    """1% hub pages must produce 50+ out-links (skew fixture contract)."""
+    pages = synthetic_pages(spark, 300)
+    g = pages_to_graph(pages)
+    outdeg = g.edges.groupBy("src").agg(F.sum("weight").alias("d"))
+    assert outdeg.agg(F.max("d")).first()[0] >= 40  # hub minus dropped self/dup links
+
+
+def test_edgelist_roundtrip(spark, tmp_path):
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2), (2, 0)], directed=True, n=3)
+    p = str(tmp_path / "el")
+    write_edgelist(g, p)
+    g2 = read_edgelist(spark, p)
+    assert {(r["src"], r["dst"]) for r in g2.edges.collect()} == {(0, 1), (1, 2), (2, 0)}
+
+
+def test_ncol_roundtrip(spark, tmp_path):
+    g = LinkGraph.from_pairs(spark, [(0, 1, 2.5), (1, 2, 1.5)], directed=True, n=3)
+    names = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "id long, url string"
+    )
+    p = str(tmp_path / "nc")
+    write_ncol(g, p, names=names)
+    g2, names2 = read_ncol(spark, p)
+    nm = {r["id"]: r["url"] for r in names2.collect()}
+    got = {
+        (nm[r["src"]], nm[r["dst"]], r["weight"]) for r in g2.edges.collect()
+    }
+    assert got == {("a", "b", 2.5), ("b", "c", 1.5)}

@@ -1,0 +1,101 @@
+"""pages → link extraction → dense vertex ids → edge table → LinkGraph.
+
+This is the ingest path of the north rule: an Iceberg/parquet corpus of
+web pages (url, warc_ts, html, text, lang) becomes the columnar edge
+table the algorithms run on.
+
+Scale notes (the parts that must survive 10^12 documents):
+- **id minting without a global window**: dense ids 0..n-1 by sorted
+  url (FIXTURES.md §2, mirroring igraph's implicit 0..n-1 ids) are
+  assigned by range-partitioning the distinct urls, ranking *within*
+  each partition, and adding broadcast per-partition offsets — no
+  single-partition window, no driver collect of data rows (only P
+  partition counts);
+- **link extraction** is the only Python (Arrow pandas UDF), applied
+  once per page batch; only (url, html) columns enter the UDF scan
+  (column pruning keeps the text/lang bytes out of the exchange);
+- the url→id dictionary join is a plain hash join on url; Catalyst/AQE
+  broadcasts it when small (tests) and shuffles both sides at corpus
+  scale — exactly the right behavior in both regimes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from xdata_igraph_spark.functions.extract import extract_links
+from xdata_igraph_spark.graph import LinkGraph
+
+
+def build_vertices(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """(id: long, url: string), ids dense 0..n-1 by ascending url."""
+    spark = pages.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    urls = (
+        pages.select("url")
+        .distinct()
+        .repartitionByRange(num_partitions, "url")
+        .sortWithinPartitions("url")
+    )
+    with_pid = urls.select(F.spark_partition_id().alias("pid"), "url")
+    # partition-local rank (window keyed by pid — each partition is one
+    # group, so no global single-partition exchange)
+    rn = F.row_number().over(Window.partitionBy("pid").orderBy("url"))
+    ranked = with_pid.withColumn("rn", rn)
+    # per-partition counts → driver-side exclusive prefix offsets (P rows)
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+    )
+    return (
+        ranked.join(F.broadcast(offsets_df), "pid")
+        .select((F.col("offset") + F.col("rn") - 1).alias("id"), "url")
+    )
+
+
+def extract_edge_urls(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, weight=occurrences); self-links dropped
+    (FIXTURES.md §2)."""
+    links = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_links("html")).alias("dst_url"),
+    )
+    return (
+        links.filter(F.col("src_url") != F.col("dst_url"))
+        .groupBy("src_url", "dst_url")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+def pages_to_graph(
+    pages: DataFrame, return_vertices: bool = False
+) -> LinkGraph | tuple[LinkGraph, DataFrame]:
+    """Full ingest: pages → LinkGraph over dense vertex ids.
+
+    Only urls that appear as a *page* get vertex ids; links pointing
+    outside the corpus are dropped by the inner dictionary join (at
+    web scale: the frontier of uncrawled urls).
+    """
+    vertices = build_vertices(pages)
+    edge_urls = extract_edge_urls(pages)
+    src_dict = vertices.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
+    dst_dict = vertices.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    edges = (
+        edge_urls.join(src_dict, "src_url")
+        .join(dst_dict, "dst_url")
+        .select("src", "dst", "weight")
+    )
+    n = vertices.count()
+    g = LinkGraph(edges, directed=True, n=n)
+    if return_vertices:
+        return g, vertices
+    return g

@@ -10,6 +10,8 @@ memory knobs change.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -44,6 +46,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         # superstep loops replace the ranks/labels DataFrame every
         # iteration; reliable local checkpoints truncate lineage.
         .config("spark.checkpoint.compress", "true")
@@ -58,4 +61,21 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executors regardless of the
+    driver's cwd — the in-process equivalent of
+    ``spark-submit --py-files xdata_igraph_spark.zip`` (pandas UDFs
+    pickle references to this module, so workers must import it)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    marker = "_xdata_igraph_spark_shipped"
+    if getattr(spark.sparkContext, marker, False):
+        return
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="xigs_pyfiles_"), "xdata_igraph_spark")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    setattr(spark.sparkContext, marker, True)
