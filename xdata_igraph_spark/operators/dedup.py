@@ -1,0 +1,231 @@
+"""Document deduplication — the training-data-pipeline operators.
+
+Beyond the reference's graph surface: at 10^12-document scale the same
+engine must dedup its corpus. All hot paths are JVM-side column
+expressions (md5 / split / explode / groupBy); only SimHash uses a
+(vectorized, Arrow) pandas UDF.
+
+- exact: hash-groupBy on the full text (md5 — cheap, collision-safe
+  enough for grouping; a second pass on raw text confirms within group);
+- MinHash + LSH: word-shingle → k hash functions → per-function min →
+  band buckets → candidate pairs via bucket join — candidates scale
+  with true near-dups, not with n²;
+- n-gram Jaccard: exact similarity on shingle sets via explode+join —
+  the verification stage after LSH, or standalone at test scale;
+- SimHash: 64-bit fingerprint, near-dups = small Hamming distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _tokens(col):
+    """Lower-cased word tokens, empty strings dropped."""
+    return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != "")
+
+
+def _shingles(col, n: int):
+    """Word n-gram shingles of a text column (empty array if < n tokens)."""
+    toks = _tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _hash32(col):
+    """Deterministic unsigned-32-bit hash of a string column via md5 —
+    portable across engines (DuckDB computes the identical value, which
+    is what makes MinHash oracle-checkable)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fingerprint, n_docs, doc_ids) for groups with >1 document."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) — md5 content hash per document."""
+    return docs.select("doc_id", F.md5(F.col(text_col)).alias("fingerprint"))
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — MinHash signature over word
+    n-gram shingles; hash function i = md5("<i>|" + shingle) → first
+    8 hex digits as uint32, min over shingles."""
+    sh = docs.select("doc_id", F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh"))
+    aggs = [
+        F.min(_hash32(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(a, b) candidate near-duplicate pairs — docs sharing at least one
+    LSH band (band = md5 of its rows' minhash values). The bucket join
+    is the scale path: candidates ∝ true collisions, never n²."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col("sig").getItem(b * rows + r).cast("string") for r in range(rows)],
+            )
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{b}:"), F.col(f"band{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    t1 = stacked.select(F.col("doc_id").alias("a"), "bucket")
+    t2 = stacked.select(F.col("doc_id").alias("b"), "bucket")
+    return (
+        t1.join(t2, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with shingle-set Jaccard ≥ threshold —
+    exact similarity via explode + equi-join on shingle."""
+    sh = (
+        docs.select("doc_id", F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    t1 = sh.select(F.col("doc_id").alias("a"), "sh")
+    t2 = sh.select(F.col("doc_id").alias("b"), "sh")
+    common = (
+        t1.join(t2, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(text: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (vectorized numpy inner loop).
+    Bit b of the fingerprint = majority vote of bit b over the md5-derived
+    64-bit hashes of the document's tokens."""
+    import hashlib
+
+    out = np.zeros(len(text), dtype=np.int64)
+    for i, t in enumerate(text):
+        if t is None:
+            continue
+        toks = [w for w in "".join(c if c.isalnum() else " " for c in t.lower()).split() if w]
+        if not toks:
+            continue
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for w in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).sum(axis=0)
+        fp = np.uint64(0)
+        for b in range(64):
+            if bits[b] * 2 > len(toks):
+                fp |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(fp)
+    return pd.Series(out)
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash: long)."""
+    return docs.select("doc_id", _simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """(a, b, hamming) pairs within Hamming distance — banded on the
+    four 16-bit chunks (a pair within distance 3 shares ≥1 chunk), so
+    the join is bucketed, not n²."""
+    fp = simhash(docs, text_col)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{c}:"),
+                        F.shiftright(F.col("simhash"), 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    t1 = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("fa"), "bucket")
+    t2 = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("fb"), "bucket")
+    cand = (
+        t1.join(t2, "bucket").filter(F.col("a") < F.col("b")).select("a", "b", "fa", "fb").distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
