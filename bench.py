@@ -1,0 +1,149 @@
+"""Headline benchmark suite.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line with per-query
+seconds. The suite covers the north-rule flagship path (synthetic
+web corpus → extraction → edge table → PageRank to 1e-6) plus the
+other flagship graph algorithms on a lineitem-derived graph and the
+data-pipeline operators (MinHash LSH, ANN top-k).
+
+Extra fields beyond the driver contract: pagerank iteration counts and
+edges/sec throughput (the BASELINE.json north metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from xdata_igraph_spark.graph import LinkGraph  # noqa: E402
+from xdata_igraph_spark.pipeline import pages_to_graph  # noqa: E402
+from xdata_igraph_spark.plans.superstep import SuperstepRunner  # noqa: E402
+from xdata_igraph_spark.session import get_spark  # noqa: E402
+from xdata_igraph_spark.sources.corpus import synthetic_pages  # noqa: E402
+
+LINEITEM_MOD = 20_000
+CORPUS_PAGES_PER_SF = 2_000_000  # sf0.1 → 200k pages (FIXTURES.md bench scale)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.1
+    n_pages = max(2000, int(CORPUS_PAGES_PER_SF * sf))
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+    t_total = time.monotonic()
+
+    def timed(name, fn):
+        t = time.monotonic()
+        out = fn()
+        queries[name] = round(time.monotonic() - t, 3)
+        return out
+
+    # --- flagship: corpus → extract → graph → pagerank(1e-6) ---
+    def ingest():
+        pages = synthetic_pages(spark, n_pages)
+        g = pages_to_graph(pages)
+        g.edges.count()
+        return g
+
+    corpus_g = timed("corpus_ingest", ingest)
+    corpus_edges = corpus_g.ecount()
+
+    from xdata_igraph_spark.operators.pagerank import pagerank
+
+    runner = SuperstepRunner(spark, "bench_pr_corpus")
+
+    def pr_corpus():
+        pr = pagerank(corpus_g, tol=1e-6, max_iter=200, runner=runner)
+        pr.count()
+        return pr
+
+    timed("corpus_pagerank_1e6", pr_corpus)
+    iters = len(runner.history)
+    extra["corpus_pages"] = n_pages
+    extra["corpus_edges"] = corpus_edges
+    extra["corpus_pagerank_iters"] = iters
+    extra["corpus_pagerank_iters_per_sec"] = round(
+        iters / queries["corpus_pagerank_1e6"], 3
+    )
+    extra["corpus_pagerank_edges_per_sec"] = round(
+        iters * corpus_edges / queries["corpus_pagerank_1e6"], 1
+    )
+
+    # --- lineitem-derived graph ---
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % LINEITEM_MOD).alias("src"),
+            (F.col("l_partkey") % LINEITEM_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    g = LinkGraph(edges, directed=True)
+
+    runner2 = SuperstepRunner(spark, "bench_pr_li")
+    timed(
+        "lineitem_pagerank_1e6",
+        lambda: pagerank(g, tol=1e-6, max_iter=200, runner=runner2).count(),
+    )
+    extra["lineitem_pagerank_iters"] = len(runner2.history)
+
+    from xdata_igraph_spark.operators.components import wcc
+
+    timed("wcc", lambda: wcc(g).select("component").distinct().count())
+
+    from xdata_igraph_spark.operators.triangles import list_triangles
+
+    timed("triangle_count", lambda: list_triangles(g).count())
+
+    from xdata_igraph_spark.operators.lpa import label_propagation
+
+    timed("lpa_5sweeps", lambda: label_propagation(g, max_sweeps=5).count())
+
+    from xdata_igraph_spark.operators.scan_stats import scan1
+
+    timed("scan1", lambda: scan1(g).count())
+
+    # --- data-pipeline operators ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from xdata_igraph_spark.operators.dedup import minhash_lsh_candidates
+
+    timed("minhash_lsh", lambda: minhash_lsh_candidates(docs).count())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from xdata_igraph_spark.operators.ann import cosine_topk
+
+    timed("embedding_topk", lambda: cosine_topk(emb, k=3).count())
+
+    total = round(time.monotonic() - t_total, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": cpus,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,16 @@ class LinkGraph:
         df = spark.createDataFrame([], EDGE_SCHEMA)
         return cls(df, directed=directed, n=n)
 
+    def materialized(self) -> "LinkGraph":
+        """Materialize the edge table and cut its lineage (eager
+        localCheckpoint) — the Spark analog of the reference building
+        its CSR indexes at construction time
+        (/root/reference/src/type_indexededgelist.c:258-339). Call this
+        when the edge table is derived from an expensive pipeline and
+        will feed multiple operators/actions."""
+        e = self.edges.localCheckpoint(eager=True)
+        return LinkGraph(e, directed=self.directed, n=self._n, vertices=self._vertices)
+
     # ---------------- vertex / edge basics ----------------
 
     def vertices(self) -> DataFrame:

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from xdata_igraph_spark.graph import LinkGraph
 from xdata_igraph_spark.plans.superstep import SuperstepRunner
@@ -62,15 +61,16 @@ def wcc(
 ) -> DataFrame:
     """Weakly connected components → (id: long, component: long)."""
     spark = graph.spark
+    # localCheckpoint: materialize AND cut the ingest lineage so each
+    # superstep plans over a LogicalRDD, not the full upstream tree
     sym = (
         graph.symmetrized()
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    sym.count()
 
     runner = runner or SuperstepRunner(spark, "wcc", checkpoint_dir=checkpoint_dir)
     resumed = runner.resume()
@@ -102,7 +102,6 @@ def wcc(
             labels = runner.finalize(labels, it, 0.0)
             break
 
-    sym.unpersist()
     return _densify_by_min_id(labels)
 
 
@@ -175,9 +174,9 @@ def scc(
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    active_v = graph.vertices().persist(StorageLevel.MEMORY_AND_DISK)
+    active_v = graph.vertices().localCheckpoint(eager=True)
     assigned_parts: list[DataFrame] = []
 
     for _round in range(max_rounds):

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from xdata_igraph_spark.graph import LinkGraph
 from xdata_igraph_spark.plans.superstep import SuperstepRunner
@@ -72,8 +71,8 @@ def label_propagation(
     )
     if not weighted:
         adj = adj.withColumn("weight", F.lit(1.0))
-    adj = adj.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
-    adj.count()
+    # localCheckpoint: materialize AND cut lineage (see pagerank.py)
+    adj = adj.repartition("dst").localCheckpoint(eager=True)
 
     verts = graph.vertices()
     if initial is not None:
@@ -151,7 +150,6 @@ def label_propagation(
         if changed == 0:
             break
 
-    adj.unpersist()
     return renumber_first_appearance(labels.select("id", "label"))
 
 

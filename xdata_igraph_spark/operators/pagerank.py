@@ -51,7 +51,6 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from xdata_igraph_spark.graph import LinkGraph
 from xdata_igraph_spark.plans.superstep import SuperstepRunner
@@ -95,14 +94,18 @@ def pagerank(
                 "weight", F.when(F.col("weight") < 0, 0.0).otherwise(F.col("weight"))
             )
     outs = adj.groupBy("src").agg(F.sum("weight").alias("outs"))
+    # localCheckpoint (not persist): materializes AND truncates the
+    # plan to a LogicalRDD. With persist alone, every superstep's
+    # Catalyst analysis re-walks the full ingest lineage (UDF
+    # extraction, id minting) — measured 5-10x per-iteration overhead
+    # on corpus-derived graphs.
     contrib = (
         adj.join(outs, "src")
         .filter(F.col("outs") > 0)
         .select("src", "dst", (F.col("weight") / F.col("outs")).alias("p"))
         .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    contrib.count()  # materialize the iteration-invariant table
 
     # --- vertex base: reset distribution + dangling flag ---
     verts = graph.vertices()
@@ -124,8 +127,7 @@ def pagerank(
         )
     else:
         base = base.withColumn("reset", F.lit(1.0 / n))
-    base = base.repartition("id").persist(StorageLevel.MEMORY_AND_DISK)
-    base.count()
+    base = base.repartition("id").localCheckpoint(eager=True)
 
     runner = runner or SuperstepRunner(
         spark,
@@ -197,6 +199,4 @@ def pagerank(
             state = runner.finalize(state, it, delta)
             break
 
-    contrib.unpersist()
-    base.unpersist()
     return state.select("id", "rank")

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from xdata_igraph_spark.graph import LinkGraph
 
@@ -72,7 +71,7 @@ def _oriented(graph: LinkGraph) -> DataFrame:
 def list_triangles(graph: LinkGraph) -> DataFrame:
     """Each triangle exactly once → (v1, v2, v3) with v1 oriented-lowest
     (igraph_list_triangles, /root/reference/src/triangles.c:567-573)."""
-    ori = _oriented(graph).persist(StorageLevel.MEMORY_AND_DISK)
+    ori = _oriented(graph).localCheckpoint(eager=True)
     wedge = (
         ori.alias("e1")
         .join(ori.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))

@@ -39,7 +39,13 @@ def build_vertices(pages: DataFrame, num_partitions: int | None = None) -> DataF
         .repartitionByRange(num_partitions, "url")
         .sortWithinPartitions("url")
     )
-    with_pid = urls.select(F.spark_partition_id().alias("pid"), "url")
+    # Freeze the partition layout: RangePartitioner samples its
+    # boundaries at *each* evaluation, so without materialization the
+    # pid → offset map collected below could disagree with a later
+    # evaluation of `ranked`, silently scrambling vertex ids.
+    with_pid = urls.select(F.spark_partition_id().alias("pid"), "url").localCheckpoint(
+        eager=True
+    )
     # partition-local rank (window keyed by pid — each partition is one
     # group, so no global single-partition exchange)
     rn = F.row_number().over(Window.partitionBy("pid").orderBy("url"))
@@ -95,7 +101,10 @@ def pages_to_graph(
         .select("src", "dst", "weight")
     )
     n = vertices.count()
-    g = LinkGraph(edges, directed=True, n=n)
+    # materialize: the edge table is the product of UDF extraction +
+    # two dictionary joins; every downstream operator would otherwise
+    # re-evaluate that pipeline per action
+    g = LinkGraph(edges, directed=True, n=n).materialized()
     if return_vertices:
         return g, vertices
     return g

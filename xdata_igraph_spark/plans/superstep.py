@@ -160,7 +160,11 @@ class SuperstepRunner:
                 partition_rows=part_rows,
             )
         else:
-            out = state.localCheckpoint(eager=True)
+            # lazy checkpoint: materialization happens inside the
+            # caller's very next action (the convergence aggregate), so
+            # each superstep costs ONE Spark job instead of two, while
+            # still truncating lineage for every later use.
+            out = state.localCheckpoint(eager=False)
             self._pending_dir = None
             self._pending_metrics = SuperstepMetrics(
                 iteration=iteration, delta=float("nan"), wall_ms=0.0
