@@ -67,13 +67,19 @@ def pagerank(
     checkpoint_interval: int = 20,
     salt_buckets: int = 0,
     runner: SuperstepRunner | None = None,
+    norm: str = "max",
 ) -> DataFrame:
     """Return ``(id: long, rank: double)`` summing to 1.
 
     ``reset``: optional personalization DataFrame ``(id, reset)``;
     missing ids get 0. ``salt_buckets > 1`` enables two-stage salted
-    aggregation for hub-skewed graphs.
+    aggregation for hub-skewed graphs. ``norm``: convergence test on
+    the rank delta — "max" (max-norm) or "l1" (1-norm, PRPACK's
+    criterion /root/reference/src/prpack/prpack_solver.cpp:393;
+    scale-invariant in |V|, so use it for large graphs).
     """
+    if norm not in ("max", "l1"):
+        raise ValueError("norm must be 'max' or 'l1'")
     spark = graph.spark
     n = graph.vcount()
     if n == 0:
@@ -185,8 +191,13 @@ def pagerank(
         new_state = runner.materialize(
             new_state.select("id", "non_dangling", "reset", "rank", "_old"), it
         )
+        delta_expr = (
+            F.max(F.abs(F.col("rank") - F.col("_old")))
+            if norm == "max"
+            else F.sum(F.abs(F.col("rank") - F.col("_old")))
+        )
         stats = new_state.agg(
-            F.max(F.abs(F.col("rank") - F.col("_old"))).alias("delta"),
+            delta_expr.alias("delta"),
             F.sum("rank").alias("S"),
             F.sum(
                 F.when(~F.col("non_dangling"), F.col("rank")).otherwise(0.0)
