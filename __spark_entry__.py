@@ -342,6 +342,95 @@ def _q_srp_topk(spark, sf_dir):
     return srp_topk(_emb(spark, sf_dir), k=3, n_planes=8, dim=64, n_tables=4)
 
 
+def _q_hits(spark, sf_dir):
+    from xdata_igraph_spark.operators.centrality import hits
+
+    g = _dense_graph(spark, sf_dir)
+    h = hits(g, max_iter=3, tol=0.0)
+    return h.select(
+        "id", F.round("hub", 8).alias("hub"), F.round("authority", 8).alias("authority")
+    )
+
+
+def _q_eigenvector(spark, sf_dir):
+    from xdata_igraph_spark.operators.centrality import eigenvector_centrality
+
+    g = _dense_graph(spark, sf_dir)
+    ev = eigenvector_centrality(g, max_iter=3, tol=0.0)
+    return ev.select("id", F.round("centrality", 8).alias("centrality"))
+
+
+def _q_bfs_hops(spark, sf_dir):
+    from xdata_igraph_spark.operators.paths import shortest_paths
+
+    g = _dense_graph(spark, sf_dir)
+    src = g.vertices().agg(F.min("id")).first()[0]
+    d = shortest_paths(g, [int(src)], mode="out")
+    return d.select("id", F.col("dist").cast("bigint").alias("dist"))
+
+
+def _dag_graph(spark, sf_dir):
+    """Leveled DAG: lvl(x)=x%8; keep (a,b) edges with lvl(b)=lvl(a)+1 —
+    bounded 8-layer depth so the recursive-SQL oracle terminates."""
+    li = _li(spark, sf_dir)
+    e = (
+        li.select(
+            (F.col("l_orderkey") % DENSE_MOD).alias("src"),
+            (F.col("l_partkey") % DENSE_MOD).alias("dst"),
+        )
+        .filter((F.col("src") % 8) + 1 == F.col("dst") % 8)
+        .distinct()
+    )
+    return LinkGraph(e, directed=True)
+
+
+def _q_topo_layers(spark, sf_dir):
+    from xdata_igraph_spark.operators.paths import topological_sorting
+
+    g = _dag_graph(spark, sf_dir)
+    return topological_sorting(g).select("id", "layer", "order")
+
+
+def _q_neighborhood2(spark, sf_dir):
+    from xdata_igraph_spark.operators.structure import neighborhood_size
+
+    g = _sparse_graph(spark, sf_dir)
+    return neighborhood_size(g, order=2, mode="all")
+
+
+def _q_annd(spark, sf_dir):
+    from xdata_igraph_spark.operators.structure import avg_nearest_neighbor_degree
+
+    g = _dense_graph(spark, sf_dir)
+    return avg_nearest_neighbor_degree(g).select(
+        "id", F.round("knn", 9).alias("knn")
+    )
+
+
+def _q_dyad_census(spark, sf_dir):
+    from xdata_igraph_spark.operators.structure import dyad_census
+
+    g = _dense_graph(spark, sf_dir)
+    mut, asym, null = dyad_census(g)
+    return spark.createDataFrame(
+        [(mut, asym, null)], "mut long, asym long, nulls long"
+    )
+
+
+def _q_linegraph(spark, sf_dir):
+    from xdata_igraph_spark.operators.structure import linegraph
+
+    g = _sparse_graph(spark, sf_dir)
+    return linegraph(g)
+
+
+def _q_gen_tree_degrees(spark, sf_dir):
+    from xdata_igraph_spark.sources.generators import tree
+
+    g = tree(spark, 3000, children=3)
+    return g.degrees("all").select("id", F.col("degree").cast("bigint").alias("degree"))
+
+
 def _q_events_windowed(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -388,6 +477,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "srp_topk": _q_srp_topk,
         "events_windowed": _q_events_windowed,
+        "hits_3iter": _q_hits,
+        "eigenvector_3iter": _q_eigenvector,
+        "bfs_hops": _q_bfs_hops,
+        "topo_layers": _q_topo_layers,
+        "neighborhood2": _q_neighborhood2,
+        "annd_dense": _q_annd,
+        "dyad_census_dense": _q_dyad_census,
+        "linegraph_sparse": _q_linegraph,
+        "gen_tree_degrees": _q_gen_tree_degrees,
     }
 
 
@@ -727,6 +825,146 @@ rk AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, round(c, 5) AS cosine FROM rk WHERE rn <= 3"""
+
+    # --- eigenvector / HITS: unrolled power-iteration rounds ---
+    def _ev_sql(iters: int = 3) -> str:
+        parts = [
+            f"WITH {DENSE_EDGES_SQL},",
+            "sym AS (SELECT src, dst, weight FROM edges"
+            " UNION ALL SELECT dst, src, weight FROM edges),",
+            "x0 AS (SELECT id, 1.0 AS x FROM verts)",
+        ]
+        for k in range(iters):
+            parts.append(
+                f""", s{k} AS (SELECT sqrt(sum(x * x)) AS s FROM x{k})
+, x{k + 1} AS (
+    SELECT v.id, coalesce(m.acc, 0) / (SELECT s FROM s{k}) AS x
+    FROM verts v LEFT JOIN (
+      SELECT e.dst AS id, sum(e.weight * p.x) AS acc
+      FROM sym e JOIN x{k} p ON p.id = e.src GROUP BY e.dst
+    ) m ON v.id = m.id)"""
+            )
+        parts.append(
+            f"\nSELECT id, round(x / (SELECT max(x) FROM x{iters}), 8)"
+            f" AS centrality FROM x{iters}"
+        )
+        return "".join(parts)
+
+    sql["eigenvector_3iter"] = _ev_sql(3)
+
+    def _hits_sql(iters: int = 3) -> str:
+        parts = [
+            f"WITH {DENSE_EDGES_SQL},",
+            "h0 AS (SELECT id, 1.0 AS h FROM verts)",
+        ]
+        for k in range(iters):
+            parts.append(
+                f""", s{k} AS (SELECT sqrt(sum(h * h)) AS s FROM h{k})
+, a{k + 1} AS (
+    SELECT v.id, coalesce(m.acc, 0) / (SELECT s FROM s{k}) AS a
+    FROM verts v LEFT JOIN (
+      SELECT e.dst AS id, sum(e.weight * p.h) AS acc
+      FROM edges e JOIN h{k} p ON p.id = e.src GROUP BY e.dst
+    ) m ON v.id = m.id)
+, h{k + 1} AS (
+    SELECT v.id, coalesce(m.acc, 0) AS h
+    FROM verts v LEFT JOIN (
+      SELECT e.src AS id, sum(e.weight * q.a) AS acc
+      FROM edges e JOIN a{k + 1} q ON q.id = e.dst GROUP BY e.src
+    ) m ON v.id = m.id)"""
+            )
+        parts.append(
+            f"""
+SELECT h.id,
+       round(h.h / (SELECT max(h) FROM h{iters}), 8) AS hub,
+       round(a.a / (SELECT max(a) FROM a{iters}), 8) AS authority
+FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+        )
+        return "".join(parts)
+
+    sql["hits_3iter"] = _hits_sql(3)
+
+    sql["bfs_hops"] = f"""WITH RECURSIVE {DENSE_EDGES_SQL},
+r(id, dist) AS (
+  SELECT (SELECT min(id) FROM verts), 0
+  UNION
+  SELECT e.dst, r.dist + 1 FROM r JOIN edges e ON e.src = r.id
+  WHERE r.dist < 15
+)
+SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM r GROUP BY id"""
+
+    sql["topo_layers"] = f"""WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT l_orderkey % {DENSE_MOD} AS src,
+                  l_partkey  % {DENSE_MOD} AS dst
+  FROM lineitem
+  WHERE (l_orderkey % {DENSE_MOD}) % 8 + 1 = (l_partkey % {DENSE_MOD}) % 8
+),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+roots AS (
+  SELECT id FROM verts WHERE id NOT IN (SELECT dst FROM edges)
+),
+r(id, d) AS (
+  SELECT id, 0 FROM roots
+  UNION
+  SELECT e.dst, r.d + 1 FROM r JOIN edges e ON e.src = r.id WHERE r.d < 9
+),
+layers AS (SELECT id, max(d) AS layer FROM r GROUP BY id)
+SELECT id, CAST(layer AS BIGINT) AS layer,
+       CAST(row_number() OVER (ORDER BY layer, id) - 1 AS BIGINT) AS "order"
+FROM layers"""
+
+    sql["neighborhood2"] = f"""WITH {SPARSE_EDGES_SQL},
+sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
+n1 AS (SELECT s AS id, d AS nbr FROM sym),
+n2 AS (
+  SELECT a.id, b.d AS nbr FROM n1 a JOIN sym b ON a.nbr = b.s
+),
+reach AS (
+  SELECT id, id AS nbr FROM verts
+  UNION SELECT id, nbr FROM n1
+  UNION SELECT id, nbr FROM n2
+)
+SELECT v.id, CAST(coalesce(c.n, 0) AS BIGINT) AS size
+FROM verts v LEFT JOIN (
+  SELECT id, count(*) AS n FROM reach GROUP BY id
+) c ON v.id = c.id"""
+
+    sql["annd_dense"] = f"""WITH {DENSE_EDGES_SQL},
+sym AS (SELECT src AS s, dst AS d FROM edges UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT s AS id, count(*) AS degree FROM sym GROUP BY s)
+SELECT v.id, round(avg(nd.degree), 9) AS knn
+FROM verts v
+LEFT JOIN sym ON sym.s = v.id
+LEFT JOIN deg nd ON nd.id = sym.d
+GROUP BY v.id"""
+
+    sql["dyad_census_dense"] = f"""WITH {DENSE_EDGES_SQL},
+pairs AS (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b, count(*) AS arcs
+  FROM (SELECT DISTINCT src, dst FROM edges)
+  GROUP BY 1, 2
+),
+nv AS (SELECT count(*) AS n FROM verts)
+SELECT CAST(sum(CASE WHEN arcs = 2 THEN 1 ELSE 0 END) AS BIGINT) AS mut,
+       CAST(sum(CASE WHEN arcs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS asym,
+       CAST((SELECT n * (n - 1) / 2 FROM nv)
+            - count(*) AS BIGINT) AS nulls
+FROM pairs"""
+
+    sql["linegraph_sparse"] = f"""WITH {SPARSE_EDGES_SQL},
+eid AS (
+  SELECT src, dst, row_number() OVER (ORDER BY src, dst) - 1 AS eid FROM edges
+)
+SELECT a.eid AS src, b.eid AS dst
+FROM eid a JOIN eid b ON a.dst = b.src AND a.eid <> b.eid"""
+
+    sql["gen_tree_degrees"] = """WITH
+kids AS (SELECT j.range AS j, (j.range - 1) // 3 AS parent FROM range(1, 3000) j),
+ends AS (SELECT parent AS id FROM kids UNION ALL SELECT j FROM kids),
+deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
+SELECT v.range AS id, CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
+FROM range(0, 3000) v LEFT JOIN deg ON deg.id = v.range"""
 
     sql["events_windowed"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

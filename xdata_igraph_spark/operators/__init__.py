@@ -9,6 +9,24 @@ from xdata_igraph_spark.operators.triangles import (
 )
 from xdata_igraph_spark.operators.lpa import label_propagation, modularity
 from xdata_igraph_spark.operators.kcore import coreness
+from xdata_igraph_spark.operators.centrality import hits, eigenvector_centrality
+from xdata_igraph_spark.operators.paths import (
+    shortest_paths,
+    distances_from,
+    average_path_length,
+    diameter,
+    eccentricity,
+    radius,
+    topological_sorting,
+    is_dag,
+)
+from xdata_igraph_spark.operators.structure import (
+    neighborhood_size,
+    avg_nearest_neighbor_degree,
+    dyad_census,
+    linegraph,
+    permute_vertices,
+)
 
 __all__ = [
     "pagerank",
@@ -23,4 +41,19 @@ __all__ = [
     "label_propagation",
     "modularity",
     "coreness",
+    "hits",
+    "eigenvector_centrality",
+    "shortest_paths",
+    "distances_from",
+    "average_path_length",
+    "diameter",
+    "eccentricity",
+    "radius",
+    "topological_sorting",
+    "is_dag",
+    "neighborhood_size",
+    "avg_nearest_neighbor_degree",
+    "dyad_census",
+    "linegraph",
+    "permute_vertices",
 ]

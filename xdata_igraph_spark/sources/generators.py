@@ -1,0 +1,393 @@
+"""Graph generators — deterministic constructors and seeded random
+"games".
+
+Semantics follow the reference's generator family
+(/root/reference/src/structure_generators.c and /root/reference/src/
+games.c); construction is Spark-first: every deterministic generator is
+``spark.range`` + column arithmetic (no driver-side edge lists), so a
+star with 10^9 leaves or a 10^5 x 10^5 lattice plans as a single
+narrow pipeline with no shuffle at all.
+
+Random generators use seeded ``xxhash64`` column expressions instead of
+the reference's sequential MT19937 stream (/root/reference/src/
+random.c:603-624): the exact edge sets differ from igraph's for the
+same seed (a sequential RNG stream cannot be reproduced distributed),
+but the distribution semantics match and results are bit-reproducible
+for a given (seed, n, m) on any cluster size. The reference's own test
+strategy for these is invariant-based, not golden-valued (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xdata_igraph_spark.graph import LinkGraph
+
+__all__ = [
+    "star",
+    "ring",
+    "tree",
+    "full",
+    "full_citation",
+    "lattice",
+    "de_bruijn",
+    "famous",
+    "gnm",
+    "gnp",
+    "barabasi",
+    "watts_strogatz",
+]
+
+
+def _graph(edges: DataFrame, directed: bool, n: int) -> LinkGraph:
+    return LinkGraph(edges.withColumn("weight", F.lit(1.0)), directed=directed, n=n)
+
+
+# ---------------------------------------------------------------------------
+# deterministic generators
+# ---------------------------------------------------------------------------
+
+
+def star(
+    spark: SparkSession, n: int, mode: str = "out", center: int = 0
+) -> LinkGraph:
+    """Star graph (igraph_star,
+    /root/reference/src/structure_generators.c:608): modes ``out``
+    (center->leaf), ``in`` (leaf->center), ``undirected``, ``mutual``."""
+    if mode not in ("out", "in", "undirected", "mutual"):
+        raise ValueError(f"bad star mode {mode!r}")
+    leaves = spark.range(n).filter(F.col("id") != center)
+    c = F.lit(center).cast("long")
+    if mode == "in":
+        e = leaves.select(F.col("id").alias("src"), c.alias("dst"))
+    else:
+        e = leaves.select(c.alias("src"), F.col("id").alias("dst"))
+    if mode == "mutual":
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return _graph(e, directed=mode != "undirected", n=n)
+
+
+def ring(
+    spark: SparkSession,
+    n: int,
+    directed: bool = False,
+    mutual: bool = False,
+    circular: bool = True,
+) -> LinkGraph:
+    """Cycle / path graph (igraph_ring,
+    /root/reference/src/structure_generators.c:844)."""
+    base = spark.range(n if circular else n - 1)
+    e = base.select(
+        F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst")
+    )
+    if directed and mutual:
+        e = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return _graph(e, directed=directed, n=n)
+
+
+def tree(
+    spark: SparkSession, n: int, children: int = 2, mode: str = "out"
+) -> LinkGraph:
+    """Regular rooted tree (igraph_tree,
+    /root/reference/src/structure_generators.c:889): vertex i's parent
+    is ``(i-1) div children``; modes ``out`` (parent->child), ``in``,
+    ``undirected``."""
+    if mode not in ("out", "in", "undirected"):
+        raise ValueError(f"bad tree mode {mode!r}")
+    kids = spark.range(1, n)
+    parent = ((F.col("id") - 1) / children).cast("long")
+    if mode == "in":
+        e = kids.select(F.col("id").alias("src"), parent.alias("dst"))
+    else:
+        e = kids.select(parent.alias("src"), F.col("id").alias("dst"))
+    return _graph(e, directed=mode != "undirected", n=n)
+
+
+def full(
+    spark: SparkSession, n: int, directed: bool = False, loops: bool = False
+) -> LinkGraph:
+    """Complete graph (igraph_full,
+    /root/reference/src/structure_generators.c:967). O(n^2) edges —
+    test scale."""
+    a = spark.range(n).select(F.col("id").alias("src"))
+    b = spark.range(n).select(F.col("id").alias("dst"))
+    e = a.crossJoin(b)
+    if not loops:
+        e = e.filter(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.filter(F.col("src") <= F.col("dst") if loops else F.col("src") < F.col("dst"))
+    return _graph(e, directed=directed, n=n)
+
+
+def full_citation(spark: SparkSession, n: int) -> LinkGraph:
+    """Each vertex cites every lower id: i->j for i>j
+    (igraph_full_citation,
+    /root/reference/src/structure_generators.c:1060)."""
+    a = spark.range(n).select(F.col("id").alias("src"))
+    b = spark.range(n).select(F.col("id").alias("dst"))
+    e = a.crossJoin(b).filter(F.col("src") > F.col("dst"))
+    return _graph(e, directed=True, n=n)
+
+
+def lattice(
+    spark: SparkSession,
+    dims: Sequence[int],
+    circular: bool = False,
+    directed: bool = False,
+) -> LinkGraph:
+    """Regular (hyper)lattice with nei=1 (igraph_lattice,
+    /root/reference/src/structure_generators.c:716). Vertex id is the
+    row-major index into ``dims``; one edge per dimension step."""
+    n = 1
+    for d in dims:
+        n *= int(d)
+    ids = spark.range(n)
+    parts: list[DataFrame] = []
+    stride = n
+    for d in dims:
+        stride //= int(d)
+        coord = (F.col("id") / stride).cast("long") % d
+        if circular and d > 2:
+            nxt = F.col("id") - coord * stride + ((coord + 1) % d) * stride
+            sel = ids
+        else:
+            nxt = F.col("id") + stride
+            sel = ids.filter(coord < d - 1)
+        parts.append(sel.select(F.col("id").alias("src"), nxt.cast("long").alias("dst")))
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.union(p)
+    return _graph(e, directed=directed, n=n)
+
+
+def de_bruijn(spark: SparkSession, m: int, n: int) -> LinkGraph:
+    """De Bruijn graph B(m, n) (igraph_de_bruijn,
+    /root/reference/src/structure_generators.c:1371): m^n vertices,
+    edges v -> (v*m + j) mod m^n for j in 0..m-1."""
+    nv = m**n
+    verts = spark.range(nv)
+    e = verts.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: (F.col("id") * m + j) % nv,
+            )
+        ).alias("dst"),
+    )
+    return _graph(e, directed=True, n=nv)
+
+
+# Famous graphs: vertex/edge data are published datasets (the reference
+# embeds the same numbers, /root/reference/src/structure_generators.c:1922).
+_FAMOUS: dict[str, tuple[int, bool, list[tuple[int, int]]]] = {
+    # W. W. Zachary's karate club, 34 vertices / 78 undirected edges.
+    "zachary": (
+        34,
+        False,
+        [
+            (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8),
+            (0, 10), (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21),
+            (0, 31), (1, 2), (1, 3), (1, 7), (1, 13), (1, 17), (1, 19),
+            (1, 21), (1, 30), (2, 3), (2, 7), (2, 27), (2, 28), (2, 32),
+            (2, 9), (2, 8), (2, 13), (3, 7), (3, 12), (3, 13), (4, 6),
+            (4, 10), (5, 6), (5, 10), (5, 16), (6, 16), (8, 30), (8, 32),
+            (8, 33), (9, 33), (13, 33), (14, 32), (14, 33), (15, 32),
+            (15, 33), (18, 32), (18, 33), (19, 33), (20, 32), (20, 33),
+            (22, 32), (22, 33), (23, 25), (23, 27), (23, 32), (23, 33),
+            (23, 29), (24, 25), (24, 27), (24, 31), (25, 31), (26, 29),
+            (26, 33), (27, 33), (28, 31), (28, 33), (29, 32), (29, 33),
+            (30, 32), (30, 33), (31, 32), (31, 33), (32, 33),
+        ],
+    ),
+    # 5-vertex bull graph (triangle with two horns).
+    "bull": (5, False, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]),
+    # Petersen graph, 10 vertices / 15 edges.
+    "petersen": (
+        10,
+        False,
+        [
+            (0, 1), (0, 4), (0, 5), (1, 2), (1, 6), (2, 3), (2, 7),
+            (3, 4), (3, 8), (4, 9), (5, 7), (5, 8), (6, 8), (6, 9), (7, 9),
+        ],
+    ),
+    # 5-vertex house graph (square + roof).
+    "house": (5, False, [(0, 1), (0, 2), (1, 3), (2, 3), (2, 4), (3, 4)]),
+}
+
+
+def famous(spark: SparkSession, name: str) -> LinkGraph:
+    """Named graph (igraph_famous,
+    /root/reference/src/structure_generators.c:1952)."""
+    key = name.lower()
+    if key not in _FAMOUS:
+        raise ValueError(f"unknown famous graph {name!r}; have {sorted(_FAMOUS)}")
+    n, directed, pairs = _FAMOUS[key]
+    return LinkGraph.from_pairs(spark, pairs, directed=directed, n=n)
+
+
+# ---------------------------------------------------------------------------
+# seeded random generators ("games")
+# ---------------------------------------------------------------------------
+
+
+def _decode_directed(idx, n):
+    """index in [0, n(n-1)) -> loop-free (src, dst)."""
+    src = (idx / (n - 1)).cast("long")
+    r = idx % (n - 1)
+    dst = F.when(r < src, r).otherwise(r + 1).cast("long")
+    return src, dst
+
+
+def _decode_undirected(idx):
+    """index in [0, n(n-1)/2) -> (src < dst) pair via triangular-root."""
+    # dst = floor((1+sqrt(1+8*idx))/2), src = idx - dst*(dst-1)/2
+    dst = F.floor((F.lit(1.0) + F.sqrt(F.lit(1.0) + 8.0 * idx.cast("double"))) / 2.0)
+    # guard float rounding at triangle boundaries
+    dst = (
+        F.when(dst * (dst - 1) / 2 > idx, dst - 1)
+        .when((dst + 1) * dst / 2 <= idx, dst + 1)
+        .otherwise(dst)
+    ).cast("long")
+    src = (idx - dst * (dst - 1) / 2).cast("long")
+    return src, dst
+
+
+def gnm(
+    spark: SparkSession,
+    n: int,
+    m: int,
+    directed: bool = False,
+    seed: int = 42,
+) -> LinkGraph:
+    """Erdos-Renyi G(n, m) (igraph_erdos_renyi_game GNM,
+    /root/reference/src/games.c:744-800): m distinct loop-free edges
+    sampled uniformly. Sampling = seeded hash of a dense index range,
+    deduplicated, first m kept in index order — fully parallel and
+    deterministic for a (seed, n, m)."""
+    space = n * (n - 1) if directed else n * (n - 1) // 2
+    if m > space:
+        raise ValueError(f"m={m} exceeds possible {space} edges")
+    # oversample: P(collision-shortfall) vanishes at 1.5x + 64
+    k = min(space, int(m * 1.5) + 64)
+    idx = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(space))
+    cand = (
+        spark.range(k)
+        .select(F.col("id").alias("ord"), idx.alias("edge_idx"))
+        .groupBy("edge_idx")
+        .agg(F.min("ord").alias("ord"))
+        .orderBy("ord")
+        .limit(m)
+    )
+    e_idx = F.col("edge_idx")
+    if directed:
+        src, dst = _decode_directed(e_idx, n)
+    else:
+        src, dst = _decode_undirected(e_idx)
+    e = cand.select(src.alias("src"), dst.alias("dst"))
+    g = _graph(e, directed=directed, n=n)
+    got = g.ecount()
+    if got < m:  # pragma: no cover — astronomically unlikely
+        raise RuntimeError(f"gnm undersampled ({got} < {m}); raise oversample")
+    return g
+
+
+def gnp(
+    spark: SparkSession,
+    n: int,
+    p: float,
+    directed: bool = False,
+    seed: int = 42,
+) -> LinkGraph:
+    """Erdos-Renyi G(n, p) (igraph_erdos_renyi_game GNP): each
+    loop-free pair kept independently with probability p via a seeded
+    hash coin. O(n^2) scan — test scale only (the reference's GNP is
+    equally quadratic in expectation for dense p)."""
+    a = spark.range(n).select(F.col("id").alias("src"))
+    b = spark.range(n).select(F.col("id").alias("dst"))
+    pairs = a.crossJoin(b).filter(F.col("src") != F.col("dst"))
+    if not directed:
+        pairs = pairs.filter(F.col("src") < F.col("dst"))
+    # uniform in [0,1): pmod(hash, 2^31) / 2^31
+    coin = F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1 << 31)) / float(1 << 31)
+    e = pairs.filter(coin < p)
+    return _graph(e, directed=directed, n=n)
+
+
+def barabasi(
+    spark: SparkSession, n: int, m: int = 1, seed: int = 42
+) -> LinkGraph:
+    """Barabasi-Albert preferential attachment (igraph_barabasi_game,
+    /root/reference/src/games.c:407). Preferential attachment is an
+    inherently sequential process (each step's distribution depends on
+    all prior steps), so edge construction runs driver-side in numpy at
+    test/benchmark scale — the reference's own use of it is exactly
+    that (perf fixtures, /root/reference/examples/benchmarks/
+    igraph_transitivity.c:34-48). The result is loaded into a
+    distributed edge table."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # repeated-nodes list trick: sampling uniformly from the endpoint
+    # multiset = degree-proportional sampling
+    targets = np.zeros(2 * n * m, dtype=np.int64)
+    size = 0
+    edges: list[tuple[int, int]] = []
+    for v in range(1, n):
+        picks: set[int] = set()
+        want = min(m, v)
+        while len(picks) < want:
+            if size == 0:
+                picks.add(0)
+            else:
+                t = int(targets[rng.integers(size)])
+                picks.add(t)
+        for t in picks:
+            edges.append((v, t))
+            targets[size] = v
+            targets[size + 1] = t
+            size += 2
+    return LinkGraph.from_pairs(spark, edges, directed=False, n=n)
+
+
+def watts_strogatz(
+    spark: SparkSession,
+    size: int,
+    nei: int = 1,
+    p: float = 0.0,
+    seed: int = 42,
+) -> LinkGraph:
+    """Watts-Strogatz small world (igraph_watts_strogatz_game,
+    /root/reference/src/games.c:2895), dim=1: circular lattice where
+    each vertex links its ``nei`` clockwise neighbors, then each edge's
+    far endpoint is rewired to a uniform vertex with probability p
+    (seeded hash coin + hash target; distribution-faithful, see module
+    docstring on RNG)."""
+    base = spark.range(size).select(F.col("id").alias("src"))
+    e = base.select(
+        "src",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(nei)),
+                lambda j: (F.col("src") + j) % size,
+            )
+        ).alias("dst"),
+    )
+    if p > 0:
+        coin = (
+            F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1 << 31))
+            / float(1 << 31)
+        )
+        rnd = F.pmod(F.xxhash64("dst", "src", F.lit(seed + 1)), F.lit(size))
+        e = e.select(
+            "src",
+            F.when((coin < p) & (rnd != F.col("src")), rnd)
+            .otherwise(F.col("dst"))
+            .cast("long")
+            .alias("dst"),
+        )
+    return _graph(e, directed=False, n=size)
