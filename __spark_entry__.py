@@ -342,6 +342,20 @@ def _q_srp_topk(spark, sf_dir):
     return srp_topk(_emb(spark, sf_dir), k=3, n_planes=8, dim=64, n_tables=4)
 
 
+def _q_dice(spark, sf_dir):
+    from xdata_igraph_spark.operators.similarity import dice_edge_pairs
+
+    g = _dense_graph(spark, sf_dir)
+    return dice_edge_pairs(g).select("a", "b", F.round("dice", 9).alias("dice"))
+
+
+def _q_invlog(spark, sf_dir):
+    from xdata_igraph_spark.operators.similarity import inverse_log_weighted
+
+    g = _dense_graph(spark, sf_dir)
+    return inverse_log_weighted(g).select("a", "b", F.round("sim", 8).alias("sim"))
+
+
 def _q_hits(spark, sf_dir):
     from xdata_igraph_spark.operators.centrality import hits
 
@@ -477,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "srp_topk": _q_srp_topk,
         "events_windowed": _q_events_windowed,
+        "dice_edges": _q_dice,
+        "invlogweighted": _q_invlog,
         "hits_3iter": _q_hits,
         "eigenvector_3iter": _q_eigenvector,
         "bfs_hops": _q_bfs_hops,
@@ -825,6 +841,32 @@ rk AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, round(c, 5) AS cosine FROM rk WHERE rn <= 3"""
+
+    sql["dice_edges"] = f"""WITH {DENSE_EDGES_SQL},
+sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT s AS id, count(*) AS deg FROM sym GROUP BY s),
+pairs AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+common AS (
+  SELECT t1.s AS a, t2.s AS b, count(*) AS n
+  FROM sym t1 JOIN sym t2 ON t1.d = t2.d AND t1.s < t2.s
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b,
+       round(2.0 * coalesce(c.n, 0) / (da.deg + db.deg), 9) AS dice
+FROM pairs p
+LEFT JOIN common c ON p.a = c.a AND p.b = c.b
+JOIN deg da ON p.a = da.id
+JOIN deg db ON p.b = db.id"""
+
+    sql["invlogweighted"] = f"""WITH {DENSE_EDGES_SQL},
+sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
+deg AS (SELECT s AS k, count(*) AS kdeg FROM sym GROUP BY s)
+SELECT t1.s AS a, t2.s AS b,
+       round(sum(CASE WHEN deg.kdeg > 1 THEN 1.0 / ln(deg.kdeg) ELSE 0 END), 8) AS sim
+FROM sym t1
+JOIN sym t2 ON t1.d = t2.d AND t1.s < t2.s
+JOIN deg ON deg.k = t1.d
+GROUP BY 1, 2"""
 
     # --- eigenvector / HITS: unrolled power-iteration rounds ---
     def _ev_sql(iters: int = 3) -> str:

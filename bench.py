@@ -66,7 +66,7 @@ def main() -> None:
     runner = SuperstepRunner(spark, "bench_pr_corpus")
 
     def pr_corpus():
-        pr = pagerank(corpus_g, tol=1e-6, max_iter=200, runner=runner)
+        pr = pagerank(corpus_g, tol=1e-6, max_iter=200, runner=runner, bucket_edges=True)
         pr.count()
         return pr
 
@@ -98,7 +98,7 @@ def main() -> None:
     runner2 = SuperstepRunner(spark, "bench_pr_li")
     timed(
         "lineitem_pagerank_1e6",
-        lambda: pagerank(g, tol=1e-6, max_iter=200, runner=runner2).count(),
+        lambda: pagerank(g, tol=1e-6, max_iter=200, runner=runner2, bucket_edges=True).count(),
     )
     extra["lineitem_pagerank_iters"] = len(runner2.history)
 

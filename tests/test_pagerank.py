@@ -110,3 +110,16 @@ def test_checkpoint_resume(spark, tmp_path):
         n,
     )
     assert np.allclose(resumed, full, atol=1e-9)
+
+
+def test_pagerank_bucketed_matches_default(spark):
+    """bucket_edges changes the physical layout only — identical ranks."""
+    from tests.fixtures import KCORE_EDGES, KCORE_N
+    from tests.oracles import gnm_edges
+
+    edges = gnm_edges(60, 180, True, seed=21)
+    g = LinkGraph.from_pairs(spark, edges, directed=True, n=60)
+    a = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-10).collect()}
+    b = {r["id"]: r["rank"] for r in pagerank(g, tol=1e-10, bucket_edges=True).collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)

@@ -200,3 +200,42 @@ def test_multimodal_plumbing(spark):
     assert len(frames) > 0
     with pytest.raises(NotImplementedError):
         extract_features(media, decode_backend="pil")
+
+
+def test_dice_and_invlog_vs_oracle(spark):
+    """Dice = 2J/(1+J); Adamic-Adar sum over shared neighbors."""
+    import math
+
+    from xdata_igraph_spark.operators.similarity import (
+        dice_edge_pairs,
+        inverse_log_weighted,
+    )
+    from tests.oracles import gnm_edges
+
+    n, edges = 25, gnm_edges(25, 60, False, seed=17)
+    g = LinkGraph.from_pairs(spark, edges, directed=False, n=n)
+    nbrs = {i: set() for i in range(n)}
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+
+    dice = {(r["a"], r["b"]): r["dice"] for r in dice_edge_pairs(g).collect()}
+    for (a, b), got in dice.items():
+        inter = len(nbrs[a] & nbrs[b])
+        want = 2 * inter / (len(nbrs[a]) + len(nbrs[b]))
+        assert abs(got - want) < 1e-12, (a, b)
+
+    sim = {(r["a"], r["b"]): r["sim"] for r in inverse_log_weighted(g).collect()}
+    for (a, b), got in sim.items():
+        want = sum(
+            1.0 / math.log(len(nbrs[k])) for k in nbrs[a] & nbrs[b] if len(nbrs[k]) > 1
+        )
+        assert abs(got - want) < 1e-9, (a, b)
+    # pairs with >=1 shared neighbor must all be present
+    expect_pairs = {
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if nbrs[a] & nbrs[b]
+    }
+    assert set(sim) == expect_pairs

@@ -58,8 +58,13 @@ def wcc(
     max_iter: int = 200,
     checkpoint_dir: str | None = None,
     runner: SuperstepRunner | None = None,
+    bucket_edges: bool = False,
 ) -> DataFrame:
-    """Weakly connected components → (id: long, component: long)."""
+    """Weakly connected components → (id: long, component: long).
+
+    ``bucket_edges``: write the symmetrized edge table bucketed+sorted
+    (plans/layout.py) so supersteps join it exchange-free; worth it on
+    large graphs / high-diameter label propagation."""
     spark = graph.spark
     # localCheckpoint: materialize AND cut the ingest lineage so each
     # superstep plans over a LogicalRDD, not the full upstream tree
@@ -68,9 +73,13 @@ def wcc(
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition("src")
-        .localCheckpoint(eager=True)
     )
+    if bucket_edges:
+        from xdata_igraph_spark.plans.layout import bucketize
+
+        sym = bucketize(sym, ["src"], name="wcc_sym")
+    else:
+        sym = sym.repartition("src").localCheckpoint(eager=True)
 
     runner = runner or SuperstepRunner(spark, "wcc", checkpoint_dir=checkpoint_dir)
     resumed = runner.resume()

@@ -52,6 +52,7 @@ def label_propagation(
     weighted: bool = True,
     max_sweeps: int = 50,
     runner: SuperstepRunner | None = None,
+    bucket_edges: bool = False,
 ) -> DataFrame:
     """Communities → (id: long, label: long), labels dense 0..k-1 by
     first appearance in vertex-id order.
@@ -71,8 +72,14 @@ def label_propagation(
     )
     if not weighted:
         adj = adj.withColumn("weight", F.lit(1.0))
-    # localCheckpoint: materialize AND cut lineage (see pagerank.py)
-    adj = adj.repartition("dst").localCheckpoint(eager=True)
+    # materialize AND cut lineage (see pagerank.py); bucketed layout
+    # makes the per-sweep join exchange-free on the edge side
+    if bucket_edges:
+        from xdata_igraph_spark.plans.layout import bucketize
+
+        adj = bucketize(adj, ["src"], name="lpa_adj")
+    else:
+        adj = adj.repartition("src").localCheckpoint(eager=True)
 
     verts = graph.vertices()
     if initial is not None:

@@ -68,6 +68,7 @@ def pagerank(
     salt_buckets: int = 0,
     runner: SuperstepRunner | None = None,
     norm: str = "max",
+    bucket_edges: bool = False,
 ) -> DataFrame:
     """Return ``(id: long, rank: double)`` summing to 1.
 
@@ -77,6 +78,10 @@ def pagerank(
     the rank delta — "max" (max-norm) or "l1" (1-norm, PRPACK's
     criterion /root/reference/src/prpack/prpack_solver.cpp:393;
     scale-invariant in |V|, so use it for large graphs).
+    ``bucket_edges``: materialize the contribution table as a
+    bucketed+sorted table (plans/layout.py) so supersteps join it with
+    NO edge-size exchange or sort — pays a one-time write, wins for
+    long convergence runs / large graphs.
     """
     if norm not in ("max", "l1"):
         raise ValueError("norm must be 'max' or 'l1'")
@@ -109,9 +114,13 @@ def pagerank(
         adj.join(outs, "src")
         .filter(F.col("outs") > 0)
         .select("src", "dst", (F.col("weight") / F.col("outs")).alias("p"))
-        .repartition("src")
-        .localCheckpoint(eager=True)
     )
+    if bucket_edges:
+        from xdata_igraph_spark.plans.layout import bucketize
+
+        contrib = bucketize(contrib, ["src"], name="pr_contrib")
+    else:
+        contrib = contrib.repartition("src").localCheckpoint(eager=True)
 
     # --- vertex base: reset distribution + dangling flag ---
     verts = graph.vertices()

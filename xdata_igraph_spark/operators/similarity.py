@@ -116,3 +116,44 @@ def assortativity_degree(graph: LinkGraph) -> float:
     num = sxy / m - (sx / m) ** 2
     den = sxx / m - (sx / m) ** 2
     return num / den if den else float("nan")
+
+
+def dice_edge_pairs(graph: LinkGraph) -> DataFrame:
+    """Dice similarity 2·|N(a)∩N(b)| / (|N(a)|+|N(b)|) per connected
+    pair a<b (igraph_similarity_dice,
+    /root/reference/src/cocitation.c:571 — defined as 2J/(1+J), i.e.
+    the same neighbor-set statistic as Jaccard)."""
+    j = jaccard_edge_pairs(graph)
+    return j.select(
+        "a", "b", (2 * F.col("jaccard") / (1 + F.col("jaccard"))).alias("dice")
+    )
+
+
+def inverse_log_weighted(graph: LinkGraph, mode: str = "all") -> DataFrame:
+    """(a, b, sim) — common neighbors weighted by 1/log(degree of the
+    shared neighbor) (igraph_similarity_inverse_log_weighted,
+    /root/reference/src/cocitation.c:109, Adamic/Adar). Pairs sharing
+    at least one neighbor, a < b; the weighting degree is the shared
+    vertex's ``mode``-degree (the reference uses the mode's opposite
+    for directed: common IN-neighbors weighted by OUT-degree — here
+    mode='all' reproduces the undirected form)."""
+    adj = (
+        graph.adjacency(mode)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = adj.groupBy(F.col("src").alias("k")).agg(F.count("*").alias("kdeg"))
+    t1 = adj.select(F.col("dst").alias("k"), F.col("src").alias("a"))
+    t2 = adj.select(F.col("dst").alias("k"), F.col("src").alias("b"))
+    return (
+        t1.join(t2, "k")
+        .filter(F.col("a") < F.col("b"))
+        .join(deg, "k")
+        .groupBy("a", "b")
+        .agg(
+            F.sum(
+                F.when(F.col("kdeg") > 1, 1.0 / F.log("kdeg")).otherwise(0.0)
+            ).alias("sim")
+        )
+    )

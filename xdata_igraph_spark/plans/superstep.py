@@ -82,17 +82,36 @@ class SuperstepRunner:
         checkpoint_dir: str | None = None,
         checkpoint_interval: int = 10,
         collect_partition_rows: bool = True,
+        lineage_window: int = 1,
+        eager_state: bool = False,
     ):
         self.spark = spark
         self.job_name = job_name
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.collect_partition_rows = collect_partition_rows
+        # lineage_window=1 (default): every superstep takes a local
+        # checkpoint — constant plan depth. The state DataFrame appears
+        # TWICE in each superstep's dataflow (message source + join
+        # base), so any window > 1 doubles the logical-plan size per
+        # superstep inside the window: Catalyst analysis goes
+        # exponential long before execution does (measured). persist()
+        # windows are kept only as an experimental mode.
+        self.lineage_window = max(1, lineage_window)
+        self.eager_state = eager_state
         self.history: list[SuperstepMetrics] = []
         self._t0 = time.monotonic()
         self._iter_t0 = self._t0
         self._pending_dir: str | None = None
         self._pending_metrics: SuperstepMetrics | None = None
+        # generation tracking for the superseded-state sweep (see
+        # _sweep_superseded): RDD ids known before the loop are
+        # protected; ids that appear during iteration are retired two
+        # generations later.
+        self._protected_rdds: set[int] | None = None
+        self._generations: list[set[int]] = []
+        self._window_dfs: list[DataFrame] = []
+        self._last_was_cut = False
 
     # -------------- durable checkpoint layout --------------
 
@@ -131,6 +150,10 @@ class SuperstepRunner:
         """Cut lineage; on cadence also write the durable checkpoint.
         Call ``finish_iteration`` afterwards with the measured delta."""
         self._iter_t0 = time.monotonic()
+        if self._protected_rdds is None:
+            # everything cached before the loop's first state (edge /
+            # contribution tables) is loop-static — never swept
+            self._protected_rdds = set(self._persistent_rdds())
         durable = self.checkpoint_dir is not None and (
             force_durable or (iteration + 1) % self.checkpoint_interval == 0
         )
@@ -160,22 +183,88 @@ class SuperstepRunner:
                 partition_rows=part_rows,
             )
         else:
-            # lazy checkpoint: materialization happens inside the
-            # caller's very next action (the convergence aggregate), so
-            # each superstep costs ONE Spark job instead of two, while
-            # still truncating lineage for every later use.
-            out = state.localCheckpoint(eager=False)
+            # Materialization happens inside the caller's very next
+            # action (the convergence aggregate), so each superstep
+            # costs ONE Spark job. persist() keeps partitioning/order
+            # metadata alive across supersteps; the periodic lazy
+            # localCheckpoint bounds logical-plan depth (its LogicalRDD
+            # forgets partitioning, costing one extra exchange on that
+            # superstep only).
+            self._last_was_cut = (iteration + 1) % self.lineage_window == 0
+            if self.lineage_window == 1:
+                # checkpoint-per-superstep: lineage depth constant.
+                # Lazy (default): materialization fuses into the
+                # caller's convergence aggregate — ONE job/superstep.
+                # Eager preserves partitioning metadata but costs a
+                # second job per superstep; measured slower on the
+                # 44.6M-edge benchmark, kept as an option.
+                out = state.localCheckpoint(eager=self.eager_state)
+                self._last_was_cut = True
+            elif self._last_was_cut:
+                out = state.localCheckpoint(eager=False)
+            else:
+                from pyspark import StorageLevel
+
+                out = state.persist(StorageLevel.MEMORY_AND_DISK)
+                self._window_dfs.append(out)
             self._pending_dir = None
             self._pending_metrics = SuperstepMetrics(
                 iteration=iteration, delta=float("nan"), wall_ms=0.0
             )
         return out
 
+    def _persistent_rdds(self):
+        jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k): jmap[k] for k in jmap.keySet().toArray()}
+
+    def _sweep_superseded(self) -> None:
+        """Release superseded per-superstep state at window cuts.
+
+        Within a lineage window the persisted states form a dependency
+        chain; unpersisting ANY of them mid-window invalidates the
+        dependent cache entries (Spark's non-cascading unpersist
+        recompiles dependents without the dropped cache), which forces
+        an exponential recompute of the chain — measured, not
+        theoretical. So retirement happens only at the window cut,
+        *after* the cut's checkpoint has materialized (the checkpointed
+        state is a LogicalRDD with no plan dependence on the caches):
+
+        - every persisted state of the finished window is unpersisted;
+        - checkpoint/cache blocks from ≥2 windows ago (tracked by RDD
+          id against a protected baseline of loop-static tables) are
+          dropped from the block manager.
+
+        Without this, a long run accumulates every superstep's blocks
+        until eviction/GC pressure degrades all tasks (the reference's
+        equivalent is its two-buffer swap, /root/reference/src/
+        structural_properties.c:1429-1479 — old iterations are
+        overwritten, not retained).
+        """
+        if not self._last_was_cut:
+            return
+        self._last_was_cut = False
+        # the cut's checkpoint materialized in the caller's action that
+        # preceded finish_iteration → the window's caches are now dead
+        for df in self._window_dfs:
+            df.unpersist(False)
+        self._window_dfs.clear()
+        # block-level sweep, one window = one generation
+        current = self._persistent_rdds()
+        known = self._protected_rdds.union(*self._generations) if self._generations else set(self._protected_rdds)
+        fresh = set(current) - known
+        self._generations.append(fresh)
+        if len(self._generations) > 2:
+            for rid in self._generations.pop(0):
+                rdd = current.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
+
     def finish_iteration(
         self, iteration: int, delta: float, extra: dict | None = None
     ) -> None:
         """Record metrics; commits the durable checkpoint (metrics.json
         is the completion marker)."""
+        self._sweep_superseded()
         m = self._pending_metrics or SuperstepMetrics(iteration, float("nan"), 0.0)
         m.delta = float(delta)
         m.wall_ms = (time.monotonic() - self._iter_t0) * 1000

@@ -45,6 +45,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # bucketed-layout tables (plans/layout.py) land here; keep them
+        # out of the caller's cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "xigs_warehouse"),
+            ),
+        )
+        # shuffle/spill dir: prefer tmpfs when present — local mode's
+        # stand-in for the node-local SSDs a real cluster would have
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_LOCAL_DIRS",
+                "/dev/shm/xigs_local" if os.path.isdir("/dev/shm") else tempfile.gettempdir(),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # superstep loops replace the ranks/labels DataFrame every
