@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EDGE_SCHEMA = "src long, dst long, weight double"
@@ -315,21 +315,28 @@ class LinkGraph:
         """Keep a vertex set + internal edges (igraph_induced_subgraph,
         /root/reference/src/structural_properties.c:1951-2037).
         Vertex ids keep their original values (no compaction) — the
-        distributed-friendly contract; renumber() densifies."""
+        distributed-friendly contract; renumber() densifies.
+
+        The vertex-set joins are plain semi-joins: Catalyst/AQE
+        broadcasts them when the set is actually small; an explicit
+        broadcast hint on an arbitrary selection (e.g. "the giant
+        component" = most of the graph) would OOM the driver at scale.
+        """
         vs = self._as_vertex_df(vertex_ids)
-        e = (
-            self.edges.join(F.broadcast(vs), self.edges.src == vs.id, "left_semi")
-        )
-        e = e.join(F.broadcast(vs), e.dst == vs.id, "left_semi")
+        e = self.edges.join(vs, self.edges.src == vs.id, "left_semi")
+        e = e.join(vs, e.dst == vs.id, "left_semi")
         return LinkGraph(e, directed=self.directed, vertices=vs)
 
     def delete_vertices(self, vertex_ids: DataFrame | Iterable[int]) -> "LinkGraph":
         """Drop vertices + incident edges (igraph_delete_vertices,
-        /root/reference/src/type_indexededgelist.c:531-690)."""
+        /root/reference/src/type_indexededgelist.c:531-690).
+
+        Anti-joins are unhinted — AQE broadcasts small delete sets,
+        shuffles big ones (see induced_subgraph)."""
         vs = self._as_vertex_df(vertex_ids)
         keep = self.vertices().join(vs, "id", "left_anti")
-        e = self.edges.join(F.broadcast(vs), self.edges.src == vs.id, "left_anti")
-        e = e.join(F.broadcast(vs), e.dst == vs.id, "left_anti")
+        e = self.edges.join(vs, self.edges.src == vs.id, "left_anti")
+        e = e.join(vs, e.dst == vs.id, "left_anti")
         return LinkGraph(e, directed=self.directed, vertices=keep)
 
     def delete_edges(self, pairs: DataFrame) -> "LinkGraph":
@@ -342,15 +349,14 @@ class LinkGraph:
         """Compact ids to dense 0..n-1 by ascending old id — the
         old→new map the reference emits from delete_vertices.
 
-        Scale note: the dense rank is a global sort of the *vertex*
-        table only (zipWithIndex-equivalent), never the edge table.
-        Returns (graph, mapping(id, new_id)).
+        Scale note: the dense rank runs over the *vertex* table only,
+        via the range-partition + prefix-offset plan (plans/ids.py) —
+        no single-partition window. Returns (graph, mapping(id, new_id)).
         """
+        from xdata_igraph_spark.plans.ids import zip_dense_ids
+
         vs = self.vertices()
-        mapping = vs.select(
-            "id",
-            (F.row_number().over(Window.orderBy("id")) - 1).cast("long").alias("new_id"),
-        )
+        mapping = zip_dense_ids(vs.select("id"), ["id"], out_col="new_id")
         m_src = mapping.select(F.col("id").alias("src"), F.col("new_id").alias("nsrc"))
         m_dst = mapping.select(F.col("id").alias("dst"), F.col("new_id").alias("ndst"))
         e = (

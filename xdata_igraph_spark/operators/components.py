@@ -30,7 +30,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xdata_igraph_spark.graph import LinkGraph
@@ -42,15 +42,17 @@ def _densify_by_min_id(labels: DataFrame, label_col: str = "label") -> DataFrame
     numbered 0.. by ascending min member id — igraph's WCC numbering
     (/root/reference/src/components.c:119-145).
 
-    The window runs over the (small) distinct-label table only, never
-    the full vertex table.
+    The rank runs over the distinct-label table only — but on a crawl
+    graph even the component COUNT is huge (singleton tail), so it uses
+    the range-partition + prefix-offset plan (plans/ids.py), not a
+    global window, and the join back is a plain hash join (AQE
+    broadcasts it when the label table is actually small).
     """
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
     comps = labels.select(label_col).distinct()
-    ranked = comps.withColumn(
-        "component",
-        (F.row_number().over(Window.orderBy(label_col)) - 1).cast("long"),
-    )
-    return labels.join(F.broadcast(ranked), label_col).select("id", "component")
+    ranked = zip_dense_ids(comps, [label_col], out_col="component")
+    return labels.join(ranked, label_col).select("id", "component")
 
 
 def wcc(
@@ -81,7 +83,12 @@ def wcc(
     else:
         sym = sym.repartition("src").localCheckpoint(eager=True)
 
-    runner = runner or SuperstepRunner(spark, "wcc", checkpoint_dir=checkpoint_dir)
+    runner = runner or SuperstepRunner(
+        spark,
+        "wcc",
+        checkpoint_dir=checkpoint_dir,
+        fingerprint=f"wcc|n={graph._n}|directed={graph.directed}",
+    )
     resumed = runner.resume()
     if resumed is not None:
         labels, start = resumed
@@ -110,6 +117,15 @@ def wcc(
         if changed == 0:
             labels = runner.finalize(labels, it, 0.0)
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"wcc did not reach fixpoint within max_iter={max_iter} "
+            f"({changed} labels still changing); components may be split — "
+            "raise max_iter",
+            RuntimeWarning,
+        )
 
     return _densify_by_min_id(labels)
 
@@ -258,6 +274,9 @@ def scc(
             .localCheckpoint(True)
         )
 
+    if not assigned_parts:
+        # empty graph: the reference returns an empty membership
+        return spark.createDataFrame([], "id long, component long")
     labels = assigned_parts[0]
     for p in assigned_parts[1:]:
         labels = labels.unionByName(p)

@@ -63,6 +63,9 @@ def coreness(graph: LinkGraph, mode: str = "all") -> DataFrame:
         k += 1
         if k > 1_000_000:  # safety
             raise RuntimeError("k-core runaway")
+    if not result_parts:
+        # empty graph: the reference returns an empty coreness vector
+        return spark.createDataFrame([], "id long, coreness long")
     out = result_parts[0]
     for p in result_parts[1:]:
         out = out.unionByName(p)

@@ -38,7 +38,7 @@ symmetrized edge table is cached across sweeps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xdata_igraph_spark.graph import LinkGraph
@@ -156,6 +156,17 @@ def label_propagation(
         labels = new_labels.drop("_old")
         if changed == 0:
             break
+    else:
+        # synchronous LPA can 2-cycle on bipartite structures; hitting
+        # the sweep cap is a documented stop, but say so (ADVICE r1)
+        import warnings
+
+        warnings.warn(
+            f"label_propagation stopped at max_sweeps={max_sweeps} with "
+            f"{changed} labels still changing (synchronous LPA may "
+            "oscillate); result is the last sweep's labeling",
+            RuntimeWarning,
+        )
 
     return renumber_first_appearance(labels.select("id", "label"))
 
@@ -166,26 +177,25 @@ def renumber_first_appearance(labels: DataFrame) -> DataFrame:
     labeled — isolated vertices) each become their own community,
     appended after, matching the reference's fresh-label assignment.
 
-    The ranking window runs over the distinct-label table (k rows).
+    Both rankings use the range-partition + prefix-offset plan
+    (plans/ids.py): on a crawl graph the number of communities is
+    itself huge, so even the distinct-label rank must not funnel
+    through one partition.
     """
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
     firsts = labels.filter(F.col("label").isNotNull()).groupBy("label").agg(
         F.min("id").alias("first_id")
     )
-    ranked = firsts.withColumn(
-        "new_label",
-        (F.row_number().over(Window.orderBy("first_id")) - 1).cast("long"),
-    )
+    ranked = zip_dense_ids(firsts, ["first_id"], out_col="new_label")
     k = ranked.count()
-    labeled = labels.join(F.broadcast(ranked), "label").select(
+    labeled = labels.join(ranked.select("label", "new_label"), "label").select(
         "id", F.col("new_label").alias("label")
     )
     unlabeled = labels.filter(F.col("label").isNull()).select("id")
     if unlabeled.limit(1).count() > 0:
-        fresh = unlabeled.withColumn(
-            "label",
-            (F.row_number().over(Window.orderBy("id")) - 1 + F.lit(k)).cast("long"),
-        )
-        labeled = labeled.unionByName(fresh)
+        fresh = zip_dense_ids(unlabeled, ["id"], out_col="label", start=k)
+        labeled = labeled.unionByName(fresh.select("id", "label"))
     return labeled
 
 

@@ -94,17 +94,27 @@ def pagerank(
     adj = graph.adjacency("out").filter(F.col("src") != F.col("dst"))
     if not weighted:
         adj = adj.withColumn("weight", F.lit(1.0))
+        outs = adj.groupBy("src").agg(F.sum("weight").alias("outs"))
     else:
-        neg = adj.filter(F.col("weight") < 0).limit(1).count()
-        if neg:
+        # clamp negatives inline and fold the negative-weight probe into
+        # the out-strength aggregate: ONE edge-size pass computes both
+        # (r1 spent a separate edge-scan action on the probe), and the
+        # materialized vertex-size `outs` is reused by contrib AND the
+        # dangling-flag base below instead of being recomputed twice.
+        clamped = F.greatest(F.col("weight"), F.lit(0.0))
+        outs = (
+            adj.groupBy("src")
+            .agg(F.sum(clamped).alias("outs"), F.min("weight").alias("_minw"))
+            .localCheckpoint(eager=True)
+        )
+        minw = outs.agg(F.min("_minw")).first()[0]
+        if minw is not None and minw < 0:
             warnings.warn(
                 "negative weights clamped to 0 (igraph semantics, "
                 "src/centrality.c:1451-1455)"
             )
-            adj = adj.withColumn(
-                "weight", F.when(F.col("weight") < 0, 0.0).otherwise(F.col("weight"))
-            )
-    outs = adj.groupBy("src").agg(F.sum("weight").alias("outs"))
+        outs = outs.drop("_minw")
+        adj = adj.withColumn("weight", clamped)
     # localCheckpoint (not persist): materializes AND truncates the
     # plan to a LogicalRDD. With persist alone, every superstep's
     # Catalyst analysis re-walks the full ingest lineage (UDF
@@ -150,6 +160,10 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
         collect_partition_rows=checkpoint_dir is not None,
+        fingerprint=(
+            f"pagerank|n={n}|damping={damping}|weighted={weighted}"
+            f"|norm={norm}|personalized={reset is not None}"
+        ),
     )
 
     resumed = runner.resume()
@@ -218,5 +232,13 @@ def pagerank(
         if delta < tol:
             state = runner.finalize(state, it, delta)
             break
+    else:
+        if max_iter > start_iter and delta >= tol > 0:
+            warnings.warn(
+                f"pagerank did not reach tol={tol} within max_iter={max_iter} "
+                f"(last delta={delta:.3e}) — result is the max_iter-th iterate "
+                "(igraph errors on non-convergence)",
+                RuntimeWarning,
+            )
 
     return state.select("id", "rank")

@@ -120,6 +120,18 @@ def shortest_paths(
         state = new_state.drop("_old")
         if changed == 0:
             break
+    else:
+        # mirrors igraph's convergence-failure error: Bellman-Ford can
+        # legitimately need |V|-1 rounds; silently returning non-minimal
+        # distances would be wrong (ADVICE r1)
+        import warnings
+
+        warnings.warn(
+            f"shortest_paths did not converge within max_iter={max_iter} "
+            f"supersteps ({changed} distances still improving); distances "
+            "may be non-minimal — raise max_iter",
+            RuntimeWarning,
+        )
 
     return state.select("source", "id", "dist")
 
@@ -176,10 +188,13 @@ def topological_sorting(
     """Kahn topological order → (id, layer, order)
     (igraph_topological_sorting, /root/reference/src/
     structural_properties.c:3216). ``layer`` is the peel round (all
-    zero-in-degree vertices of round k); ``order`` is a total order
-    (layer, then id) — igraph's exact order depends on its queue
-    insertion sequence, which is id-ascending per layer, so this
-    matches. Raises on cycles like the reference errors on non-DAGs."""
+    zero-in-degree vertices of round k); ``order`` is a deterministic
+    valid topological total order (layer, then id). igraph's Kahn FIFO
+    enqueues newly-freed vertices in edge-removal order, which can
+    interleave layers differently — the layer partition is identical,
+    the presentation order is a documented deviation (same contract as
+    the LPA/SCC numbering). Raises on cycles like the reference errors
+    on non-DAGs."""
     if mode not in ("out", "in"):
         raise ValueError("mode must be 'out' or 'in'")
     e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
@@ -205,14 +220,18 @@ def topological_sorting(
         layer_no += 1
         if layer_no > max_iter:  # pragma: no cover
             raise RuntimeError("topological sort did not terminate")
+    if not layers:
+        # empty graph: the reference returns an empty order
+        return graph.spark.createDataFrame([], "id long, layer long, order long")
     out = layers[0]
     for df in layers[1:]:
         out = out.unionByName(df)
-    from pyspark.sql import Window
+    # total order via range-partition + prefix offsets (plans/ids.py) —
+    # never a single-partition window over all vertices
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
 
-    w = Window.orderBy("layer", "id")
-    return out.select(
-        "id", "layer", (F.row_number().over(w) - 1).cast("long").alias("order")
+    return zip_dense_ids(out, ["layer", "id"], out_col="order").select(
+        "id", "layer", "order"
     )
 
 

@@ -122,13 +122,16 @@ def linegraph(graph: LinkGraph) -> DataFrame:
     composition, matching the reference which includes loops' self
     adjacency; we exclude a==b for simple graphs).
     Undirected: two edges are adjacent iff they share an endpoint.
-    """
-    from pyspark.sql import Window
 
-    e = graph.edges.select("src", "dst").withColumn(
-        "eid",
-        F.row_number().over(Window.orderBy("src", "dst")).cast("long") - 1,
-    ).localCheckpoint(eager=True)
+    Edge ids are minted with the range-partition + prefix-offset plan
+    (plans/ids.py) — the edge table never funnels through one
+    partition.
+    """
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+    e = zip_dense_ids(
+        graph.edges.select("src", "dst"), ["src", "dst"], out_col="eid"
+    )
     if graph.directed:
         a = e.select(F.col("eid").alias("src"), F.col("dst").alias("mid"))
         b = e.select(F.col("eid").alias("dst"), F.col("src").alias("mid"))

@@ -21,51 +21,23 @@ Scale notes (the parts that must survive 10^12 documents):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xdata_igraph_spark.functions.extract import extract_links
 from xdata_igraph_spark.graph import LinkGraph
+from xdata_igraph_spark.plans.ids import zip_dense_ids
 
 
 def build_vertices(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """(id: long, url: string), ids dense 0..n-1 by ascending url."""
-    spark = pages.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    urls = (
-        pages.select("url")
-        .distinct()
-        .repartitionByRange(num_partitions, "url")
-        .sortWithinPartitions("url")
-    )
-    # Freeze the partition layout: RangePartitioner samples its
-    # boundaries at *each* evaluation, so without materialization the
-    # pid → offset map collected below could disagree with a later
-    # evaluation of `ranked`, silently scrambling vertex ids.
-    with_pid = urls.select(F.spark_partition_id().alias("pid"), "url").localCheckpoint(
-        eager=True
-    )
-    # partition-local rank (window keyed by pid — each partition is one
-    # group, so no global single-partition exchange)
-    rn = F.row_number().over(Window.partitionBy("pid").orderBy("url"))
-    ranked = with_pid.withColumn("rn", rn)
-    # per-partition counts → driver-side exclusive prefix offsets (P rows)
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in with_pid.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    offsets_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
-    )
-    return (
-        ranked.join(F.broadcast(offsets_df), "pid")
-        .select((F.col("offset") + F.col("rn") - 1).alias("id"), "url")
-    )
+    """(id: long, url: string), ids dense 0..n-1 by ascending url.
+
+    Minting is the range-partition + per-partition rank + broadcast
+    prefix-offset plan (plans/ids.py) — no single-partition window, no
+    driver collect of data rows (only P partition counts)."""
+    urls = pages.select("url").distinct()
+    return zip_dense_ids(urls, ["url"], out_col="id",
+                         num_partitions=num_partitions).select("id", "url")
 
 
 def extract_edge_urls(pages: DataFrame) -> DataFrame:

@@ -84,12 +84,18 @@ class SuperstepRunner:
         collect_partition_rows: bool = True,
         lineage_window: int = 1,
         eager_state: bool = False,
+        fingerprint: str | None = None,
     ):
         self.spark = spark
         self.job_name = job_name
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.collect_partition_rows = collect_partition_rows
+        # identity of (graph, parameters): stamped into every durable
+        # metrics.json; resume() refuses a checkpoint whose fingerprint
+        # disagrees — a reused checkpoint_dir must not silently resume a
+        # different job's state (ADVICE r1)
+        self.fingerprint = fingerprint
         # lineage_window=1 (default): every superstep takes a local
         # checkpoint — constant plan depth. The state DataFrame appears
         # TWICE in each superstep's dataflow (message source + join
@@ -137,6 +143,16 @@ class SuperstepRunner:
             return None
         last = complete[-1]
         iteration = int(last.split("=")[1])
+        if self.fingerprint is not None:
+            with open(os.path.join(self._job_dir(), last, "metrics.json")) as f:
+                stamped = json.load(f).get("fingerprint")
+            if stamped is not None and stamped != self.fingerprint:
+                raise ValueError(
+                    f"checkpoint dir {self._job_dir()!r} holds state for a "
+                    f"different graph/parameters (stamped {stamped!r}, "
+                    f"current {self.fingerprint!r}); refusing to resume — "
+                    "use a fresh checkpoint_dir"
+                )
         state = self.spark.read.parquet(
             os.path.join(self._job_dir(), last, "state.parquet")
         )
@@ -181,6 +197,9 @@ class SuperstepRunner:
                 durable=True,
                 rows=rows,
                 partition_rows=part_rows,
+                extra={"fingerprint": self.fingerprint}
+                if self.fingerprint is not None
+                else {},
             )
         else:
             # Materialization happens inside the caller's very next

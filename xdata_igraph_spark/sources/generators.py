@@ -257,6 +257,48 @@ def _decode_undirected(idx):
     return src, dst
 
 
+def _distinct_indices(spark: SparkSession, space: int, m: int, seed: int):
+    """Exactly ``m`` distinct values from ``[0, space)`` as a DataFrame
+    ``(edge_idx: long)`` — deterministic for (space, m, seed).
+
+    Dense requests (m > space/2) sample the COMPLEMENT instead: the
+    expected distinct count of k uniform draws is space·(1-e^(-k/space)),
+    which can never reach m ≳ 0.58·space by oversampling alone (ADVICE
+    r1). Sparse requests keep drawing fresh seeded-hash rounds until
+    ≥ m distinct indices have accumulated (coupon-collector: a couple of
+    rounds in practice), keeping the first m in draw order.
+    """
+    if m <= 0:
+        return spark.range(0).select(F.col("id").alias("edge_idx"))
+    if m >= space:
+        return spark.range(space).select(F.col("id").alias("edge_idx"))
+    if m > space // 2:
+        excl = _distinct_indices(spark, space, space - m, seed + 1_000_003)
+        return (
+            spark.range(space)
+            .select(F.col("id").alias("edge_idx"))
+            .join(excl, "edge_idx", "left_anti")
+        )
+    acc = None
+    for rnd in range(64):
+        k = min(space, int(m * 1.5) + 64)
+        draws = spark.range(k).select(
+            (F.lit(rnd) * F.lit(1 << 40) + F.col("id")).alias("ord"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(rnd)), F.lit(space)).alias(
+                "edge_idx"
+            ),
+        )
+        acc = draws if acc is None else acc.unionByName(draws)
+        dedup = acc.groupBy("edge_idx").agg(F.min("ord").alias("ord"))
+        dedup = dedup.localCheckpoint(eager=True)
+        if dedup.count() >= m:
+            return dedup.orderBy("ord").limit(m).select("edge_idx")
+        acc = dedup
+    raise RuntimeError(  # pragma: no cover — 64 rounds cannot all fall short
+        f"gnm sampling failed to reach {m} distinct of {space}"
+    )
+
+
 def gnm(
     spark: SparkSession,
     n: int,
@@ -266,34 +308,22 @@ def gnm(
 ) -> LinkGraph:
     """Erdos-Renyi G(n, m) (igraph_erdos_renyi_game GNM,
     /root/reference/src/games.c:744-800): m distinct loop-free edges
-    sampled uniformly. Sampling = seeded hash of a dense index range,
-    deduplicated, first m kept in index order — fully parallel and
-    deterministic for a (seed, n, m)."""
+    sampled uniformly. Sampling = seeded hashes over a dense index
+    range, topped up round-by-round until m distinct indices exist
+    (dense m samples the complement) — fully parallel and deterministic
+    for a (seed, n, m); any m ≤ space is supported like the
+    reference."""
     space = n * (n - 1) if directed else n * (n - 1) // 2
     if m > space:
         raise ValueError(f"m={m} exceeds possible {space} edges")
-    # oversample: P(collision-shortfall) vanishes at 1.5x + 64
-    k = min(space, int(m * 1.5) + 64)
-    idx = F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(space))
-    cand = (
-        spark.range(k)
-        .select(F.col("id").alias("ord"), idx.alias("edge_idx"))
-        .groupBy("edge_idx")
-        .agg(F.min("ord").alias("ord"))
-        .orderBy("ord")
-        .limit(m)
-    )
+    cand = _distinct_indices(spark, space, m, seed)
     e_idx = F.col("edge_idx")
     if directed:
         src, dst = _decode_directed(e_idx, n)
     else:
         src, dst = _decode_undirected(e_idx)
     e = cand.select(src.alias("src"), dst.alias("dst"))
-    g = _graph(e, directed=directed, n=n)
-    got = g.ecount()
-    if got < m:  # pragma: no cover — astronomically unlikely
-        raise RuntimeError(f"gnm undersampled ({got} < {m}); raise oversample")
-    return g
+    return _graph(e, directed=directed, n=n)
 
 
 def gnp(
