@@ -63,15 +63,24 @@ print("GEN", m, round(time.monotonic() - t0, 1))
 """
 
 LEVEL = r"""
-import sys, time, json, os
+import sys, time, json, os, shutil, atexit
 sys.path.insert(0, %(repo)r)
 cpus, path, n_iters = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
-os.environ.setdefault("SPARK_LOCAL_DIRS", f"/dev/shm/xigs_scale_{cpus}")
+local_dirs = f"/dev/shm/xigs_scale_{cpus}_{os.getpid()}"
+os.environ.setdefault("SPARK_LOCAL_DIRS", local_dirs)
+# /dev/shm is RAM: leftover shuffle files from a previous rep would eat
+# the memory both levels share — remove this rep's dir on exit
+atexit.register(lambda: shutil.rmtree(local_dirs, ignore_errors=True))
 from xdata_igraph_spark.session import get_spark
 from xdata_igraph_spark.graph import LinkGraph
 from xdata_igraph_spark.operators.pagerank import pagerank
 from xdata_igraph_spark.plans.superstep import SuperstepRunner
-spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=64)
+# AQE off for the measured loop (both levels, identical conf): the
+# superstep plan shape is static and skew is handled explicitly, so
+# AQE's only effect here is per-stage driver re-optimization — measured
+# ~30%% of the superstep at local[8] on the 8.9M-edge probe
+spark = get_spark(f"scaling-{cpus}", cpus=cpus, shuffle_partitions=64,
+                  extra_conf={"spark.sql.adaptive.enabled": "false"})
 g = LinkGraph(spark.read.parquet(path), directed=True)
 r = SuperstepRunner(spark, "scaling")
 t0 = time.monotonic()

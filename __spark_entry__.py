@@ -339,7 +339,9 @@ def _q_embedding_topk(spark, sf_dir):
 def _q_srp_topk(spark, sf_dir):
     from xdata_igraph_spark.operators.ann import srp_topk
 
-    return srp_topk(_emb(spark, sf_dir), k=3, n_planes=8, dim=64, n_tables=4)
+    return srp_topk(_emb(spark, sf_dir), k=3, n_planes=8, dim=64, n_tables=4).select(
+        "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine")
+    )
 
 
 def _q_dice(spark, sf_dir):
@@ -826,6 +828,67 @@ buckets AS (
 SELECT DISTINCT t1.doc_id AS a, t2.doc_id AS b
 FROM buckets t1 JOIN buckets t2
   ON t1.bucket = t2.bucket AND t1.doc_id < t2.doc_id"""
+
+    # srp_topk: the SRP hyperplanes are deterministic (seeded numpy, see
+    # operators/ann.py:_planes); the oracle embeds the identical plane
+    # constants as SQL literals, rebuilds the per-table sign-bit buckets,
+    # unions candidates, and reranks by exact cosine — same tie-breaking
+    # (desc cosine, asc neighbor id), rounded to 5 like embedding_topk.
+    from xdata_igraph_spark.operators.ann import _planes as _srp_planes
+
+    table_ctes, cand_sqls = [], []
+    for t in range(4):
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product(v, [{}]) >= 0 THEN '1' ELSE '0' END)".format(
+                ", ".join(repr(float(x)) for x in p)
+            )
+            for p in _srp_planes(64, 8, seed=42 + t)
+        )
+        table_ctes.append(f"b{t} AS (SELECT vec_id, {bits} AS bucket FROM e)")
+        cand_sqls.append(
+            f"SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id\n"
+            f"  FROM b{t} q JOIN b{t} n ON q.bucket = n.bucket "
+            f"AND q.vec_id <> n.vec_id"
+        )
+    sql["srp_topk"] = (
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v "
+        "FROM embeddings),\n"
+        + ",\n".join(table_ctes)
+        + ",\ncand AS (\n  "
+        + "\n  UNION\n  ".join(cand_sqls)
+        + "\n),\nscored AS (\n"
+        "  SELECT c.query_id, c.neighbor_id,\n"
+        "         list_cosine_similarity(eq.v, en.v) AS cos\n"
+        "  FROM cand c JOIN e eq ON c.query_id = eq.vec_id\n"
+        "              JOIN e en ON c.neighbor_id = en.vec_id\n"
+        "),\nrk AS (\n"
+        "  SELECT query_id, neighbor_id, cos,\n"
+        "         row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos DESC, neighbor_id ASC) AS rn\n"
+        "  FROM scored\n)\n"
+        "SELECT query_id, neighbor_id, round(cos, 5) AS cosine FROM rk WHERE rn <= 3"
+    )
+
+    # simhash: same md5-derived bit votes as operators/dedup.py:simhash —
+    # 32-bit halves, strict-majority vote per bit, two's-complement cast
+    bits_expr = " + ".join(
+        f"CASE WHEN 2*sum(({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) > count(*) "
+        f"THEN {1 << b}::HUGEINT ELSE 0 END"
+        for b in range(64)
+    )
+    sql["simhash"] = f"""WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS w FROM documents),
+hs AS (
+  SELECT doc_id,
+    ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+    ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+  FROM toks),
+agg AS (SELECT doc_id, ({bits_expr}) AS fpu FROM hs GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(CASE WHEN agg.fpu >= 9223372036854775808::HUGEINT
+                THEN (agg.fpu - 18446744073709551616::HUGEINT)::BIGINT
+                ELSE agg.fpu::BIGINT END, 0) AS simhash
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id"""
 
     sql["embedding_topk"] = """WITH
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

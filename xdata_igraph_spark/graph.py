@@ -273,7 +273,140 @@ class LinkGraph:
         ).withColumn("k1", key[1] if self.directed else F.least("src", "dst"))
         return e.join(counted, ["k0", "k1"]).select("src", "dst", "weight", "multiplicity")
 
+    def is_loop(self) -> DataFrame:
+        """Per-edge loop flag (igraph_is_loop,
+        /root/reference/src/structural_properties.c:3343)."""
+        return self.edges.select(
+            "src", "dst", (F.col("src") == F.col("dst")).alias("is_loop")
+        )
+
+    def has_multiple(self) -> bool:
+        """Any parallel edge? (igraph_has_multiple,
+        /root/reference/src/structural_properties.c:3470). Undirected
+        pairs canonicalized first."""
+        if self.directed:
+            key = [F.col("src"), F.col("dst")]
+        else:
+            key = [F.greatest("src", "dst"), F.least("src", "dst")]
+        dup = (
+            self.edges.groupBy(key[0].alias("a"), key[1].alias("b"))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+        )
+        return dup.limit(1).count() > 0
+
+    def is_simple(self) -> bool:
+        """No loops and no multi-edges (igraph_is_simple,
+        /root/reference/src/structural_properties.c:3384)."""
+        has_loop = (
+            self.edges.filter(F.col("src") == F.col("dst")).limit(1).count() > 0
+        )
+        return not has_loop and not self.has_multiple()
+
+    def add_edges(self, pairs: Sequence[tuple] | DataFrame) -> "LinkGraph":
+        """New graph with edges appended (igraph_add_edges,
+        /root/reference/src/type_indexededgelist.c:186-257); the edge
+        table is append-only like the reference's grown columns."""
+        if isinstance(pairs, DataFrame):
+            cols = pairs.columns
+            add = pairs.select(
+                F.col(cols[0]).cast("long").alias("src"),
+                F.col(cols[1]).cast("long").alias("dst"),
+                (F.col(cols[2]) if len(cols) > 2 else F.lit(1.0))
+                .cast("double")
+                .alias("weight"),
+            )
+        else:
+            add = self.spark.createDataFrame(
+                [
+                    (int(p[0]), int(p[1]), float(p[2]) if len(p) > 2 else 1.0)
+                    for p in pairs
+                ],
+                EDGE_SCHEMA,
+            )
+        return LinkGraph(
+            self.edges.unionByName(add),
+            directed=self.directed,
+            n=self._n,
+            vertices=self._vertices,
+        )
+
+    def add_vertices(self, nv: int) -> "LinkGraph":
+        """New graph with ``nv`` extra isolated vertices
+        (igraph_add_vertices, /root/reference/src/
+        type_indexededgelist.c:368-415). Requires an explicit vertex
+        count (implicit-0..n-1 id contract)."""
+        if nv < 0:
+            raise ValueError("cannot add a negative number of vertices")
+        n = self.vcount()
+        return LinkGraph(self.edges, directed=self.directed, n=n + nv)
+
+    def edge_ids(self) -> DataFrame:
+        """(eid, src, dst, weight) with dense edge ids 0..m-1 by
+        (src, dst) row order — the positional edge ids the reference
+        keeps implicitly (/root/reference/src/type_indexededgelist.c:
+        1137 igraph_get_eid's search order). Minted scale-safe via
+        plans/ids.py."""
+        from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+        return zip_dense_ids(self.edges, ["src", "dst"], out_col="eid").select(
+            "eid", "src", "dst", "weight"
+        )
+
+    def get_eid(self, a: int, b: int, error: bool = True) -> int:
+        """Edge id of (a,b) (igraph_get_eid, /root/reference/src/
+        type_indexededgelist.c:1137); undirected matches both
+        orientations; -1 (or raise) when absent; smallest id on
+        multi-edges."""
+        e = self.edge_ids()
+        if self.directed:
+            hit = e.filter((F.col("src") == int(a)) & (F.col("dst") == int(b)))
+        else:
+            hit = e.filter(
+                ((F.col("src") == int(a)) & (F.col("dst") == int(b)))
+                | ((F.col("src") == int(b)) & (F.col("dst") == int(a)))
+            )
+        row = hit.agg(F.min("eid")).first()
+        if row[0] is None:
+            if error:
+                raise ValueError(f"no edge ({a}, {b})")
+            return -1
+        return int(row[0])
+
+    def incident(self, v: int, mode: str = "out") -> DataFrame:
+        """Edge ids incident to ``v`` → (eid) (igraph_incident,
+        /root/reference/src/type_indexededgelist.c:800-834); mode
+        out/in/all, undirected = all."""
+        e = self.edge_ids()
+        v = int(v)
+        if not self.directed or mode == "all":
+            cond = (F.col("src") == v) | (F.col("dst") == v)
+        elif mode == "out":
+            cond = F.col("src") == v
+        elif mode == "in":
+            cond = F.col("dst") == v
+        else:
+            raise ValueError(f"bad mode {mode!r}")
+        return e.filter(cond).select("eid")
+
     # ---------------- §2.4 filters / subgraphs ----------------
+
+    def subgraph_edges(
+        self, pairs: DataFrame, delete_vertices: bool = True
+    ) -> "LinkGraph":
+        """Keep an edge subset (igraph_subgraph_edges,
+        /root/reference/src/structural_properties.c:2038-2160):
+        ``delete_vertices=True`` keeps only endpoint vertices (ids NOT
+        compacted — renumber() densifies, same contract as
+        induced_subgraph); False keeps the whole vertex set."""
+        e = self.edges.join(
+            pairs.select("src", "dst"), ["src", "dst"], "left_semi"
+        )
+        if delete_vertices:
+            return LinkGraph(e, directed=self.directed)
+        return LinkGraph(
+            e, directed=self.directed, n=self._n, vertices=self._vertices
+        )
 
     def simplify(
         self,

@@ -281,3 +281,44 @@ def scc(
     for p in assigned_parts[1:]:
         labels = labels.unionByName(p)
     return _densify_by_min_id(labels)
+
+
+def subcomponent(graph: LinkGraph, v: int, mode: str = "all") -> DataFrame:
+    """Vertex set reachable from/to ``v`` → (id)
+    (igraph_subcomponent, /root/reference/src/structural_properties.c:
+    1349-1430): mode 'out' = reachable from v, 'in' = reaching v,
+    'all' = weak component of v. A BFS of the existing multi-source
+    machinery with one source."""
+    from xdata_igraph_spark.operators.paths import shortest_paths
+
+    return shortest_paths(graph, [int(v)], mode=mode).select("id")
+
+
+def decompose(
+    graph: LinkGraph,
+    mode: str = "weak",
+    maxcompno: int | None = None,
+    minelements: int = 1,
+) -> list[LinkGraph]:
+    """Split into connected-component subgraphs (igraph_decompose,
+    /root/reference/src/components.c:350-480): components ordered by
+    canonical component id; ``maxcompno`` caps how many, ``minelements``
+    drops small ones. Vertex ids keep their original values (the
+    distributed contract; the reference renumbers each piece —
+    renumber() densifies when needed).
+
+    Returns a Python list of LinkGraphs, so the driver holds one row
+    per *selected component* (fine for the reference's use: a handful
+    of pieces), never per vertex."""
+    membership = wcc(graph) if mode == "weak" else scc(graph)
+    sizes = membership.groupBy("component").agg(F.count("*").alias("csize"))
+    chosen = sizes.filter(F.col("csize") >= minelements).orderBy("component")
+    if maxcompno is not None:
+        chosen = chosen.limit(maxcompno)
+    comp_ids = [int(r["component"]) for r in chosen.collect()]
+    mem = membership.localCheckpoint(eager=True)
+    out = []
+    for c in comp_ids:
+        vs = mem.filter(F.col("component") == c).select("id")
+        out.append(graph.induced_subgraph(vs))
+    return out

@@ -106,6 +106,9 @@ def pagerank(
             adj.groupBy("src")
             .agg(F.sum(clamped).alias("outs"), F.min("weight").alias("_minw"))
             .localCheckpoint(eager=True)
+            # fresh exprIds: the LogicalRDD keeps the upstream attribute
+            # ids, which would collide with adj's own `src` in the join
+            .select(*(F.col(c).alias(c) for c in ["src", "outs", "_minw"]))
         )
         minw = outs.agg(F.min("_minw")).first()[0]
         if minw is not None and minw < 0:

@@ -242,3 +242,246 @@ def is_dag(graph: LinkGraph) -> bool:
         return True
     except ValueError:
         return False
+
+
+def shortest_paths_with_parents(
+    graph: LinkGraph,
+    sources: list[int] | DataFrame,
+    mode: str = "out",
+    weighted: bool = False,
+    max_iter: int = 200,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """Multi-source shortest paths with predecessor pointers →
+    (source, id, dist, parent); parent is NULL at the source itself.
+
+    Same relaxation loop as ``shortest_paths`` with the predecessor
+    carried through the min-aggregate as a (dist, parent) struct —
+    lexicographic struct ordering makes the tie-break deterministic
+    (smallest predecessor id among equally-short ones; igraph returns
+    one arbitrary shortest path, /root/reference/src/
+    structural_properties.c:567 — documented deviation: ours is the
+    canonical minimum-parent path).
+    """
+    spark = graph.spark
+    runner = runner or SuperstepRunner(spark, "sssp_parents")
+    edges = _edges_for_mode(graph, mode)
+    if weighted:
+        neg = edges.filter(F.col("weight") < 0).limit(1).count()
+        if neg:
+            raise ValueError("negative weights unsupported")
+    else:
+        edges = edges.withColumn("weight", F.lit(1.0))
+
+    if isinstance(sources, DataFrame):
+        src_df = sources.select(F.col(sources.columns[0]).alias("source"))
+    else:
+        src_df = spark.createDataFrame([(int(s),) for s in sources], "source long")
+
+    state = src_df.select(
+        "source",
+        F.col("source").alias("id"),
+        F.lit(0.0).alias("dist"),
+        F.lit(None).cast("long").alias("parent"),
+    ).repartition("id").localCheckpoint(eager=True)
+
+    for it in range(max_iter):
+        relaxed = (
+            state.select("source", F.col("id").alias("src"), "dist")
+            .join(edges, "src")
+            .groupBy("source", "dst")
+            .agg(
+                F.min(
+                    F.struct(
+                        (F.col("dist") + F.col("weight")).alias("d"),
+                        F.col("src").alias("p"),
+                    )
+                ).alias("cand")
+            )
+            .select(
+                "source",
+                F.col("dst").alias("id"),
+                F.col("cand.d").alias("cand_d"),
+                F.col("cand.p").alias("cand_p"),
+            )
+        )
+        new_state = (
+            state.withColumnRenamed("dist", "_old")
+            .join(relaxed, ["source", "id"], "full")
+            .select(
+                "source",
+                "id",
+                F.when(
+                    F.col("cand_d")
+                    < F.coalesce("_old", F.lit(float("inf"))),
+                    F.col("cand_d"),
+                )
+                .otherwise(F.col("_old"))
+                .alias("dist"),
+                F.when(
+                    F.col("cand_d")
+                    < F.coalesce("_old", F.lit(float("inf"))),
+                    F.col("cand_p"),
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+                "_old",
+            )
+        )
+        new_state = runner.materialize(new_state, it)
+        changed = new_state.filter(
+            F.col("_old").isNull() | (F.col("dist") < F.col("_old"))
+        ).count()
+        runner.finish_iteration(it, float(changed))
+        state = new_state.drop("_old")
+        if changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"shortest_paths_with_parents hit max_iter={max_iter} before "
+            "fixpoint; distances may be non-minimal",
+            RuntimeWarning,
+        )
+    return state.select("source", "id", "dist", "parent")
+
+
+def get_shortest_paths(
+    graph: LinkGraph,
+    source: int,
+    to: list[int] | DataFrame | None = None,
+    mode: str = "out",
+    weighted: bool = False,
+    max_iter: int = 200,
+) -> DataFrame:
+    """One shortest path per reachable target → (source, target, dist,
+    path: array<long> source..target) (igraph_get_shortest_paths,
+    /root/reference/src/structural_properties.c:567; example
+    examples/simple/igraph_get_shortest_paths.c). Unreachable targets
+    are absent (the reference returns an empty path).
+
+    Backtrack is an iterative parent join: O(path length) supersteps,
+    each a vertex-size equi-join — the path column itself is the only
+    per-row growth, so memory is Σ path lengths (cap |targets|·diameter).
+    """
+    spark = graph.spark
+    st = shortest_paths_with_parents(
+        graph, [source], mode=mode, weighted=weighted, max_iter=max_iter
+    )
+    if to is not None:
+        if isinstance(to, DataFrame):
+            tgt = to.select(F.col(to.columns[0]).alias("id"))
+        else:
+            tgt = spark.createDataFrame([(int(t),) for t in to], "id long")
+        st_t = st.join(tgt, "id", "left_semi")
+    else:
+        st_t = st
+    # walk: (target, dist, cur, path); prepend parent(cur) until source
+    parents = st.select("id", "parent").localCheckpoint(eager=True)
+    walk = st_t.select(
+        F.col("id").alias("target"),
+        "dist",
+        F.col("id").alias("cur"),
+        F.array(F.col("id")).alias("path"),
+    ).localCheckpoint(eager=True)
+    done = walk.filter(F.col("cur") == F.lit(int(source)))
+    active = walk.filter(F.col("cur") != F.lit(int(source)))
+    for _ in range(max_iter):
+        if active.isEmpty():
+            break
+        stepped = (
+            active.join(parents.withColumnRenamed("id", "cur"), "cur")
+            .select(
+                "target",
+                "dist",
+                F.col("parent").alias("cur"),
+                F.concat(F.array(F.col("parent")), F.col("path")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = done.unionByName(
+            stepped.filter(F.col("cur") == F.lit(int(source)))
+        ).localCheckpoint(eager=True)
+        active = stepped.filter(F.col("cur") != F.lit(int(source)))
+    return done.select(
+        F.lit(int(source)).alias("source"), "target", "dist", "path"
+    )
+
+
+def closeness(
+    graph: LinkGraph,
+    sources: list[int] | DataFrame | None = None,
+    mode: str = "out",
+    normalized: bool = False,
+    max_iter: int = 200,
+) -> DataFrame:
+    """Closeness centrality → (id, closeness) (igraph_closeness,
+    /root/reference/src/centrality.c:2418,2733-2740).
+
+    Per source vertex: total = Σ dist(reachable) + n·(n − reached)
+    (unreachable pairs charged n, "always longer than the longest
+    geodesic"); closeness = (n−1)/total, divided by (n−1) again when
+    ``normalized=False`` — exactly the reference's formula.
+
+    One aggregate over the existing multi-source BFS; cost O(|sources|
+    · supersteps), so cap ``sources`` at web scale (the reference's own
+    API takes a vertex selector for the same reason).
+    """
+    n = graph.vcount()
+    d = shortest_paths(graph, sources, mode=mode, max_iter=max_iter)
+    agg = d.groupBy(F.col("source").alias("id")).agg(
+        F.sum("dist").alias("sum_d"), F.count("*").alias("reached")
+    )
+    total = F.col("sum_d") + F.lit(float(n)) * (F.lit(n) - F.col("reached"))
+    c = (F.lit(float(n - 1)) / total) if normalized else (F.lit(1.0) / total)
+    return agg.select("id", c.alias("closeness"))
+
+
+def path_length_hist(graph: LinkGraph, directed: bool | None = None) -> DataFrame:
+    """Histogram of finite shortest-path lengths → (dist: double,
+    npairs: long) (igraph_path_length_hist, /root/reference/src/
+    structural_properties.c:293): directed graphs count ordered pairs,
+    undirected unordered; self-pairs excluded. All-pairs BFS —
+    test/sample scale like the reference's O(n·E)."""
+    use_directed = directed if directed is not None else graph.directed
+    mode = "out" if use_directed else "all"
+    d = shortest_paths(graph, None, mode=mode).filter(F.col("source") != F.col("id"))
+    if not use_directed:
+        d = d.filter(F.col("source") < F.col("id"))
+    return d.groupBy("dist").agg(F.count("*").alias("npairs"))
+
+
+def girth(graph: LinkGraph, sources: list[int] | DataFrame | None = None) -> float:
+    """Length of the shortest cycle (igraph_girth, /root/reference/src/
+    structural_properties.c:3660); infinity for forests. Undirected
+    semantics like the reference (direction ignored); self-loops and
+    multi-edges are simplified away first (the reference requires a
+    simple graph).
+
+    Method: BFS from every root with parent pointers; every non-tree
+    edge (u,v) — parent(u)≠v and parent(v)≠u — reached from root r
+    closes a walk of length d(u)+d(v)+1 containing a cycle, and a root
+    ON the shortest cycle attains equality, so the min over roots and
+    non-tree edges is exact. ``sources`` restricts the roots for an
+    upper-bound estimate at scale.
+    """
+    g = graph.to_undirected() if graph.directed else graph
+    g = g.simplify(remove_loops=True, remove_multiple=True)
+    st = shortest_paths_with_parents(g, sources if sources is not None else g.vertices(), mode="all")
+    e = g.symmetrized().select("src", "dst").filter(F.col("src") != F.col("dst"))
+    du = st.select("source", F.col("id").alias("src"), F.col("dist").alias("du"),
+                   F.col("parent").alias("pu"))
+    dv = st.select("source", F.col("id").alias("dst"), F.col("dist").alias("dv"),
+                   F.col("parent").alias("pv"))
+    cand = (
+        e.join(du, "src")
+        .join(dv, ["source", "dst"])
+        .filter(
+            (F.coalesce(F.col("pu"), F.lit(-1)) != F.col("dst"))
+            & (F.coalesce(F.col("pv"), F.lit(-1)) != F.col("src"))
+        )
+        .select((F.col("du") + F.col("dv") + 1).alias("clen"))
+    )
+    row = cand.agg(F.min("clen")).first()
+    return float(row[0]) if row[0] is not None else float("inf")

@@ -98,3 +98,122 @@ def scan1_them(us: LinkGraph, them: LinkGraph) -> DataFrame:
         verts.join(counts, verts.id == counts.v, "left")
         .select("id", F.coalesce("scan1_them", F.lit(0)).alias("scan1_them"))
     )
+
+
+def _khop_closed(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
+    """Closed k-neighborhood pairs (v, u): u within ≤ k hops of v
+    following ``mode`` edges — BFS layering, each round joins only the
+    newest frontier."""
+    adj = (
+        graph.adjacency(mode)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = graph.vertices().select(
+        F.col("id").alias("v"), F.col("id").alias("u")
+    ).localCheckpoint(eager=True)
+    frontier = reached
+    for _ in range(k):
+        nxt = (
+            frontier.select("v", F.col("u").alias("src"))
+            .join(adj, "src")
+            .select("v", F.col("dst").alias("u"))
+            .distinct()
+            .join(reached, ["v", "u"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return reached
+
+
+def scan_k_ecount(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
+    """(id, scan) — edges of the induced subgraph of the closed
+    k-neighborhood (igraph_local_scan_k_ecount,
+    /root/reference/src/scan.c:739-800: BFS to depth k, counting every
+    edge with both endpoints inside; the reference halves ALL-mode
+    counts because its incidence walk sees each edge from both ends —
+    counting canonical undirected pairs once is the same number).
+
+    k=0 is scan0, k=1 is scan1 (the reference dispatches identically,
+    src/scan.c:757-759). The (v, u) neighborhood pair set is the
+    scale bound: Σ_v |N_k(v)| — fine for k ≤ 2 on sparse graphs, the
+    same practical limit the O(n·E) reference has.
+    """
+    if k < 0:
+        raise ValueError("k must be non-negative in k-scan")
+    if k == 0:
+        return scan0(graph).select("id", F.col("scan0").cast("long").alias("scan"))
+    reached = _khop_closed(graph, k, mode)
+    if mode == "all" or not graph.directed:
+        edges = (
+            graph.symmetrized()
+            .select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    else:
+        edges = (
+            graph.adjacency(mode)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    pa = reached.select("v", F.col("u").alias("a"))
+    pb = reached.select("v", F.col("u").alias("b"))
+    counts = (
+        edges.join(pa, "a")
+        .join(pb, ["v", "b"])
+        .groupBy("v")
+        .agg(F.count("*").alias("scan"))
+    )
+    verts = graph.vertices()
+    return verts.join(counts, verts.id == counts.v, "left").select(
+        "id", F.coalesce("scan", F.lit(0)).alias("scan")
+    )
+
+
+def scan_k_ecount_them(
+    us: LinkGraph, them: LinkGraph, k: int, mode: str = "all"
+) -> DataFrame:
+    """(id, scan) — THEM-edges with both endpoints inside the closed
+    US k-neighborhood (igraph_local_scan_k_ecount_them,
+    /root/reference/src/scan.c:831-920): neighborhoods from US, edge
+    counting on THEM, same vertex universe."""
+    if k < 0:
+        raise ValueError("k must be non-negative in k-scan")
+    if k == 0:
+        return scan0_them(us, them).select(
+            "id", F.col("scan0_them").cast("long").alias("scan")
+        )
+    reached = _khop_closed(us, k, mode)
+    if mode == "all" or not them.directed:
+        edges = (
+            them.symmetrized()
+            .select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    else:
+        edges = (
+            them.adjacency(mode)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+    pa = reached.select("v", F.col("u").alias("a"))
+    pb = reached.select("v", F.col("u").alias("b"))
+    counts = (
+        edges.join(pa, "a")
+        .join(pb, ["v", "b"])
+        .groupBy("v")
+        .agg(F.count("*").alias("scan"))
+    )
+    verts = us.vertices()
+    return verts.join(counts, verts.id == counts.v, "left").select(
+        "id", F.coalesce("scan", F.lit(0)).alias("scan")
+    )

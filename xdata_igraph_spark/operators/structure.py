@@ -162,3 +162,191 @@ def permute_vertices(graph: LinkGraph, mapping: DataFrame) -> LinkGraph:
         )
     )
     return LinkGraph(e, directed=graph.directed, n=graph._n)
+
+
+TRIAD_NAMES = [
+    "003", "012", "102", "021D", "021U", "021C", "111D", "111U",
+    "030T", "030C", "201", "120D", "120U", "120C", "210", "300",
+]
+
+
+def _triad_class():
+    """Column expression: Davis-Leinhardt class index (0..15) of a
+    sorted triple (x<y<z) from its six arc flags ``xy_f`` (x→y),
+    ``xy_b`` (y→x), ``xz_f``, ``xz_b``, ``yz_f``, ``yz_b``
+    (igraph_triad_census order, /root/reference/src/motifs.c:976-1040).
+    """
+    def typ(fwd, bwd):
+        return F.col(fwd).cast("int") + F.col(bwd).cast("int")
+
+    t_xy, t_xz, t_yz = typ("xy_f", "xy_b"), typ("xz_f", "xz_b"), typ("yz_f", "yz_b")
+    m = (t_xy == 2).cast("int") + (t_xz == 2).cast("int") + (t_yz == 2).cast("int")
+    a = (t_xy == 1).cast("int") + (t_xz == 1).cast("int") + (t_yz == 1).cast("int")
+
+    # out-degree of each triple member over the asymmetric arcs only
+    def asym(fwd, bwd):
+        return (F.col(fwd) & ~F.col(bwd)).cast("int")
+
+    out_x = asym("xy_f", "xy_b") + asym("xz_f", "xz_b")
+    out_y = asym("xy_b", "xy_f") + asym("yz_f", "yz_b")
+    out_z = asym("xz_b", "xz_f") + asym("yz_b", "yz_f")
+    in_x = asym("xy_b", "xy_f") + asym("xz_b", "xz_f")
+    in_y = asym("xy_f", "xy_b") + asym("yz_b", "yz_f")
+    in_z = asym("xz_f", "xz_b") + asym("yz_f", "yz_b")
+
+    # vertex roles relative to the mutual pair (for 111/120): which
+    # pair is mutual → the "third" vertex is the one not in it
+    third_out = F.when(t_xy == 2, out_z).when(t_xz == 2, out_y).otherwise(out_x)
+    third_in = F.when(t_xy == 2, in_z).when(t_xz == 2, in_y).otherwise(in_x)
+
+    return (
+        F.when((m == 0) & (a == 0), F.lit(0))                      # 003
+        .when((m == 0) & (a == 1), F.lit(1))                       # 012
+        .when((m == 1) & (a == 0), F.lit(2))                       # 102
+        .when(
+            (m == 0) & (a == 2),
+            # two asym arcs: common tail → 021D, common head → 021U,
+            # else chain → 021C
+            F.when(
+                (out_x == 2) | (out_y == 2) | (out_z == 2), F.lit(3)
+            ).when((in_x == 2) | (in_y == 2) | (in_z == 2), F.lit(4)).otherwise(F.lit(5)),
+        )
+        .when(
+            (m == 1) & (a == 1),
+            # arc from the third vertex INTO the dyad → 111D, out → 111U
+            F.when(third_out == 1, F.lit(6)).otherwise(F.lit(7)),
+        )
+        .when(
+            (m == 0) & (a == 3),
+            # 3-cycle iff every vertex has asym out-degree exactly 1
+            F.when((out_x == 1) & (out_y == 1) & (out_z == 1), F.lit(9)).otherwise(
+                F.lit(8)
+            ),                                                     # 030C / 030T
+        )
+        .when((m == 2) & (a == 0), F.lit(10))                      # 201
+        .when(
+            (m == 1) & (a == 2),
+            # both asym arcs leave the third vertex → 120D; both enter
+            # it → 120U; one each → 120C
+            F.when(third_out == 0, F.lit(11))
+            .when(third_in == 0, F.lit(12))
+            .otherwise(F.lit(13)),
+        )
+        .when((m == 2) & (a == 1), F.lit(14))                      # 210
+        .otherwise(F.lit(15))                                      # 300
+    )
+
+
+def triad_census(graph: LinkGraph) -> DataFrame:
+    """Davis-Leinhardt triad census → (triad: string, count: long),
+    16 rows in igraph's order (igraph_triad_census,
+    /root/reference/src/motifs.c:976-1100). Directed graphs only, like
+    the reference (it warns on undirected input); loops and multi-arcs
+    ignored.
+
+    Relational Batagelj–Mrvar plan: enumerate only triples with ≥ 2
+    connected pairs (connected pair × neighbor-of-either-endpoint,
+    deduped on the sorted triple), classify each via its six arc flags;
+    the single-arc classes come analytically — 012 = A·(n−2) − Σ asym
+    pairs over enumerated triples, 102 = M·(n−2) − Σ mutual pairs,
+    003 = C(n,3) − everything else. Cost ∝ Σ_pairs (deg(a)+deg(b)),
+    never n³.
+    """
+    if not graph.directed:
+        import warnings
+
+        warnings.warn("triad census called on an undirected graph (igraph warns too)")
+    spark = graph.spark
+    n = graph.vcount()
+    arcs = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # unordered connected pairs with both arc flags (fwd = low → high)
+    pairs = (
+        arcs.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.col("src") < F.col("dst")).alias("is_f"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.max(F.col("is_f")).alias("f"),
+            F.max(~F.col("is_f")).alias("bwd"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sym = (
+        arcs.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .union(arcs.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    # triples with >= 2 connected pairs: pair + neighbor of either end
+    cand_a = pairs.select("a", "b").join(
+        sym.withColumnRenamed("u", "a").withColumnRenamed("v", "c"), "a"
+    )
+    cand_b = pairs.select("a", "b").join(
+        sym.withColumnRenamed("u", "b").withColumnRenamed("v", "c"), "b"
+    )
+    triples = (
+        cand_a.unionByName(cand_b.select("a", "b", "c"))
+        .filter((F.col("c") != F.col("a")) & (F.col("c") != F.col("b")))
+        .select(
+            F.least("a", "b", "c").alias("x"),
+            F.expr("array_sort(array(a, b, c))[1]").alias("y"),
+            F.greatest("a", "b", "c").alias("z"),
+        )
+        .distinct()
+    )
+
+    def pair_flags(p1, p2, prefix):
+        pr = pairs.select(
+            F.col("a").alias(p1),
+            F.col("b").alias(p2),
+            F.col("f").alias(f"{prefix}_f"),
+            F.col("bwd").alias(f"{prefix}_b"),
+        )
+        return pr
+
+    flagged = (
+        triples.join(pair_flags("x", "y", "xy"), ["x", "y"], "left")
+        .join(pair_flags("x", "z", "xz"), ["x", "z"], "left")
+        .join(pair_flags("y", "z", "yz"), ["y", "z"], "left")
+        .na.fill(False)
+    )
+    cls = flagged.select(_triad_class().alias("cls"))
+    counted = {
+        int(r["cls"]): int(r["cnt"])
+        for r in cls.groupBy("cls").agg(F.count("*").alias("cnt")).collect()
+    }
+    # analytic classes from the pair census
+    prow = pairs.agg(
+        F.sum(F.when(F.col("f") & F.col("bwd"), 1).otherwise(0)).alias("M"),
+        F.sum(F.when(F.col("f") != F.col("bwd"), 1).otherwise(0)).alias("A"),
+    ).first()
+    M, A = int(prow["M"] or 0), int(prow["A"] or 0)
+    # asym/mutual pair incidences inside enumerated triples
+    inc = flagged.agg(
+        F.sum(
+            (F.col("xy_f") != F.col("xy_b")).cast("long")
+            + (F.col("xz_f") != F.col("xz_b")).cast("long")
+            + (F.col("yz_f") != F.col("yz_b")).cast("long")
+        ).alias("asym_inc"),
+        F.sum(
+            (F.col("xy_f") & F.col("xy_b")).cast("long")
+            + (F.col("xz_f") & F.col("xz_b")).cast("long")
+            + (F.col("yz_f") & F.col("yz_b")).cast("long")
+        ).alias("mut_inc"),
+    ).first()
+    asym_inc, mut_inc = int(inc["asym_inc"] or 0), int(inc["mut_inc"] or 0)
+    counts = [0] * 16
+    for k, v in counted.items():
+        counts[k] = v
+    counts[1] = A * (n - 2) - asym_inc
+    counts[2] = M * (n - 2) - mut_inc
+    counts[0] = n * (n - 1) * (n - 2) // 6 - sum(counts[1:])
+    return spark.createDataFrame(
+        [(TRIAD_NAMES[i], counts[i]) for i in range(16)], "triad string, count long"
+    )

@@ -159,3 +159,63 @@ def transitivity_local_undirected(
             .alias("transitivity"),
         )
     )
+
+
+def transitivity_barrat(graph: LinkGraph, mode: str = "nan") -> DataFrame:
+    """Barrat weighted local clustering → (id, barrat)
+    (igraph_transitivity_barrat, /root/reference/src/triangles.c:
+    713-805): C_w(i) = Σ_{j,k adjacent neighbors of i} (w_ij + w_ik)
+    / (s_i · (k_i − 1)); degree-<2 vertices get NaN (mode='nan',
+    the reference's default) or 0 (mode='zero'). Multi-edges are
+    collapsed by weight sum and loops dropped (the reference expects a
+    simple graph; this matches simplify()).
+
+    Relational plan: weighted symmetric adjacency joined with itself on
+    the center (neighbor pairs j<k), closed against the edge set — the
+    same wedge shape as triangle counting, weights riding along.
+    """
+    e = (
+        graph.edges.select(
+            F.greatest("src", "dst").alias("a"),
+            F.least("src", "dst").alias("b"),
+            "weight",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("weight").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("a").alias("i"), F.col("b").alias("j"), "w").union(
+        e.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
+    )
+    stats = sym.groupBy(F.col("i").alias("id")).agg(
+        F.sum("w").alias("s"), F.count("*").alias("k")
+    )
+    # adjacent neighbor pairs (j < k) of each center i
+    left = sym.select("i", F.col("j").alias("nj"), F.col("w").alias("wj"))
+    right = sym.select("i", F.col("j").alias("nk"), F.col("w").alias("wk"))
+    wedges = left.join(right, "i").filter(F.col("nj") < F.col("nk"))
+    closed = wedges.join(
+        e.select(F.col("b").alias("nj"), F.col("a").alias("nk")),
+        ["nj", "nk"],
+        "left_semi",
+    )
+    tri = closed.groupBy(F.col("i").alias("id")).agg(
+        F.sum(F.col("wj") + F.col("wk")).alias("tri_w")
+    )
+    denom = F.col("s") * (F.col("k") - 1)
+    fallback = F.lit(float("nan")) if mode == "nan" else F.lit(0.0)
+    return (
+        graph.vertices()
+        .join(stats, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce(denom, F.lit(0.0)) > 0,
+                F.coalesce("tri_w", F.lit(0.0)) / denom,
+            )
+            .otherwise(fallback)
+            .alias("barrat"),
+        )
+    )

@@ -62,7 +62,13 @@ def bucketize(
 
         shutil.rmtree(loc, ignore_errors=True)
     (
-        df.write.mode("overwrite")
+        # repartition by the bucket key first so each bucket is ONE
+        # file: Spark trusts a bucket's sort order only when the bucket
+        # is a single file — multi-file buckets force a per-scan Sort of
+        # the edge-size table on EVERY superstep (measured in the
+        # executed plan), which defeats half the point of the layout
+        df.repartition(n_buckets, *cols)
+        .write.mode("overwrite")
         .bucketBy(n_buckets, cols[0], *cols[1:])
         .sortBy(cols[0], *cols[1:])
         .format("parquet")

@@ -36,10 +36,13 @@ __all__ = [
     "lattice",
     "de_bruijn",
     "famous",
+    "kautz",
+    "lcf",
     "gnm",
     "gnp",
     "barabasi",
     "watts_strogatz",
+    "degree_sequence_game",
 ]
 
 
@@ -222,10 +225,18 @@ _FAMOUS: dict[str, tuple[int, bool, list[tuple[int, int]]]] = {
 
 def famous(spark: SparkSession, name: str) -> LinkGraph:
     """Named graph (igraph_famous,
-    /root/reference/src/structure_generators.c:1952)."""
+    /root/reference/src/structure_generators.c:1952). LCF-expressible
+    entries build through lcf(); explicit edge lists otherwise (catalog
+    extension at the bottom of this module)."""
     key = name.lower()
+    if key in _FAMOUS_LCF:
+        n, shifts, repeats = _FAMOUS_LCF[key]
+        return lcf(spark, n, shifts, repeats)
     if key not in _FAMOUS:
-        raise ValueError(f"unknown famous graph {name!r}; have {sorted(_FAMOUS)}")
+        raise ValueError(
+            f"unknown famous graph {name!r}; have "
+            f"{sorted(set(_FAMOUS) | set(_FAMOUS_LCF))}"
+        )
     n, directed, pairs = _FAMOUS[key]
     return LinkGraph.from_pairs(spark, pairs, directed=directed, n=n)
 
@@ -421,3 +432,206 @@ def watts_strogatz(
             .alias("dst"),
         )
     return _graph(e, directed=False, n=size)
+
+
+def kautz(spark: SparkSession, m: int, n: int) -> LinkGraph:
+    """Kautz graph (igraph_kautz, /root/reference/src/
+    structure_generators.c:1446-1590): vertices are length-(n+1)
+    strings over an (m+1)-letter alphabet with no two equal consecutive
+    letters; v → w iff dropping v's first letter and appending one
+    letter yields w. Vertex ids = rank of the string's base-(m+1)
+    value among valid strings — the reference's enumeration order.
+
+    Fully relational: enumerate all (m+1)^(n+1) strings with
+    spark.range, keep the valid ones, mint ranked ids (plans/ids.py),
+    build edges by value arithmetic + dictionary join.
+    """
+    if m < 0 or n < 0:
+        raise ValueError("`m' and `n' should be non-negative in a Kautz graph")
+    if n == 0:
+        return full(spark, m + 1, directed=True, loops=False)
+    if m == 0:
+        return LinkGraph.empty(spark, 0, directed=True)
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+    base = m + 1
+    allstrings = base ** (n + 1)
+    digit = [
+        (F.col("value") / F.lit(base ** (n - i))).cast("long") % base
+        for i in range(n + 1)
+    ]  # digit[0] = most significant
+    valid = None
+    for i in range(n):
+        c = digit[i] != digit[i + 1]
+        valid = c if valid is None else (valid & c)
+    strings = (
+        spark.range(allstrings)
+        .select(F.col("id").alias("value"))
+        .filter(valid)
+    )
+    ids = zip_dense_ids(strings, ["value"], out_col="vid").localCheckpoint(True)
+    # w value = (v value without leading digit) * base + c, c != v's last digit
+    tail = F.col("value") % F.lit(base ** n)
+    cand = ids.select(
+        F.col("vid").alias("src"),
+        F.explode(
+            F.filter(
+                F.transform(F.sequence(F.lit(0), F.lit(m)), lambda c: c.cast("long")),
+                lambda c: c != digit[n],
+            )
+        ).alias("c"),
+        tail.alias("tail"),
+    ).select("src", (F.col("tail") * base + F.col("c")).alias("value"))
+    edges = cand.join(ids.select("value", F.col("vid").alias("dst")), "value").select(
+        "src", "dst"
+    )
+    nv = base * (m ** n)
+    return _graph(edges, directed=True, n=nv)
+
+
+def lcf(spark: SparkSession, n: int, shifts: list[int], repeats: int) -> LinkGraph:
+    """LCF-notation graph (igraph_lcf_vector, /root/reference/src/
+    structure_generators.c:1596-1655): a ring 0..n-1 plus chords —
+    chord j connects (j mod n) to (j + shifts[j mod |shifts|]) mod n,
+    kept when from < to; |shifts|·repeats/2 chords total."""
+    if repeats < 0:
+        raise ValueError("number of repeats must be positive")
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    want = n + len(shifts) * repeats // 2
+    sptr = 0
+    while len(pairs) < want:
+        sh = shifts[sptr % len(shifts)]
+        frm = sptr % n
+        to = (n + sptr + sh) % n
+        if frm < to:
+            pairs.append((frm, to))
+        sptr += 1
+    return LinkGraph.from_pairs(spark, pairs, directed=False, n=n)
+
+
+def degree_sequence_game(
+    spark: SparkSession, degrees: list[int] | DataFrame, seed: int = 42
+) -> LinkGraph:
+    """Configuration-model random graph with the given degree sequence
+    (igraph_degree_sequence_game, IGRAPH_DEGSEQ_SIMPLE,
+    /root/reference/src/games.c:1189: uniform random stub pairing; may
+    contain loops/multi-edges exactly like the reference's SIMPLE
+    method).
+
+    Distributed + deterministic: every stub gets a seeded-hash rank
+    (plans/ids.py — no global window), consecutive ranks pair up.
+    """
+    if isinstance(degrees, DataFrame):
+        deg = degrees.select(
+            F.col(degrees.columns[0]).cast("long").alias("id"),
+            F.col(degrees.columns[1]).cast("int").alias("deg"),
+        )
+    else:
+        deg = spark.createDataFrame(
+            [(i, int(d)) for i, d in enumerate(degrees)], "id long, deg int"
+        )
+    total = deg.agg(F.sum("deg")).first()[0] or 0
+    if total % 2 != 0:
+        raise ValueError("degree sequence sum must be even (igraph errors too)")
+    n = deg.count()
+    stubs = deg.filter(F.col("deg") > 0).select(
+        "id", F.explode(F.sequence(F.lit(1), F.col("deg"))).alias("k")
+    )
+    hashed = stubs.select(
+        "id", F.xxhash64("id", "k", F.lit(seed)).alias("h"), "k"
+    )
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+    ranked = zip_dense_ids(hashed, ["h", "id", "k"], out_col="r")
+    pairs = (
+        ranked.select((F.col("r") / 2).cast("long").alias("pair"),
+                      (F.col("r") % 2).alias("side"), "id")
+        .groupBy("pair")
+        .agg(
+            F.min(F.when(F.col("side") == 0, F.col("id"))).alias("src"),
+            F.min(F.when(F.col("side") == 1, F.col("id"))).alias("dst"),
+        )
+        .select("src", "dst")
+    )
+    return _graph(pairs, directed=False, n=n)
+
+
+# extended famous() catalog — standard published constructions; vertex
+# numbering follows the classical construction (LCF ring order,
+# hypercube bit order, ...), isomorphic to igraph_famous's embedded
+# arrays (/root/reference/src/structure_generators.c:1760-1950), whose
+# ad-hoc labeling is presentation, not structure.
+_FAMOUS_LCF = {
+    "heawood": (14, [5, -5], 7),
+    "mcgee": (24, [12, 7, -7], 8),
+    "pappus": (18, [5, 7, -7, 7, -7, 5], 3),
+    "desargues": (20, [5, -5, 9, -9], 5),
+    "mobius_kantor": (16, [5, -5], 8),
+    "dodecahedral": (20, [10, 7, 4, -4, -7, 10, -4, 7, -7, 4], 2),
+    "frucht": (12, [-5, -2, -4, 2, 5, -2, 2, 5, -2, -5, 4, 2], 1),
+    "levi": (30, [-13, -9, 7, -7, 9, 13], 5),
+    "tutte_coxeter": (30, [-13, -9, 7, -7, 9, 13], 5),
+}
+
+_FAMOUS.update(
+    {
+        "diamond": (4, False, [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)]),
+        "tetrahedral": (4, False, [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]),
+        "cubical": (
+            8,
+            False,
+            # Q3: i ~ i^1, i^2, i^4
+            sorted({(min(i, i ^ b), max(i, i ^ b)) for i in range(8) for b in (1, 2, 4)}),
+        ),
+        "octahedral": (
+            6,
+            False,
+            # K_{2,2,2}: complement of the perfect matching (0,3)(1,4)(2,5)
+            [
+                (a, b)
+                for a in range(6)
+                for b in range(a + 1, 6)
+                if b - a != 3
+            ],
+        ),
+        "krackhardt_kite": (
+            10,
+            False,
+            [
+                (0, 1), (0, 2), (0, 3), (0, 5), (1, 3), (1, 4), (1, 6),
+                (2, 3), (2, 5), (3, 4), (3, 5), (3, 6), (4, 6), (5, 6),
+                (5, 7), (6, 7), (7, 8), (8, 9),
+            ],
+        ),
+        "chvatal": (
+            12,
+            False,
+            [
+                (0, 1), (0, 4), (0, 6), (0, 9), (1, 2), (1, 5), (1, 7),
+                (2, 3), (2, 6), (2, 8), (3, 4), (3, 7), (3, 9), (4, 5),
+                (4, 8), (5, 10), (5, 11), (6, 10), (6, 11), (7, 8),
+                (7, 11), (8, 10), (9, 10), (9, 11),
+            ],
+        ),
+        "grotzsch": (
+            11,
+            False,
+            # Mycielskian of C5: outer cycle 0-4, mirrors 5-9, hub 10
+            [(i, (i + 1) % 5) for i in range(5)]
+            + [(5 + i, (i + 1) % 5) for i in range(5)]
+            + [(5 + i, (i - 1) % 5) for i in range(5)]
+            + [(5 + i, 10) for i in range(5)],
+        ),
+        "icosahedral": (
+            12,
+            False,
+            [
+                (0, 1), (0, 2), (0, 3), (0, 4), (0, 8), (1, 2), (1, 6),
+                (1, 7), (1, 8), (2, 4), (2, 5), (2, 6), (3, 4), (3, 8),
+                (3, 9), (3, 11), (4, 5), (4, 11), (5, 6), (5, 10),
+                (5, 11), (6, 7), (6, 10), (7, 8), (7, 9), (7, 10),
+                (8, 9), (9, 10), (9, 11), (10, 11),
+            ],
+        ),
+    }
+)
