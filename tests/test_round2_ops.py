@@ -1,0 +1,394 @@
+"""Round-2 operators: paths reconstruction, closeness, betweenness,
+triad census, scan-k, barrat, girth, k-core h-index, new generators,
+core-API additions."""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from xdata_igraph_spark.graph import LinkGraph
+
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _py_brandes(n, arcs, directed=True):
+    """Reference Brandes betweenness (unweighted), pure Python."""
+    adj = defaultdict(list)
+    edges = set(arcs)
+    if not directed:
+        edges |= {(b, a) for a, b in arcs}
+    for a, b in edges:
+        adj[a].append(b)
+    bc = dict.fromkeys(range(n), 0.0)
+    for s in range(n):
+        S, P = [], defaultdict(list)
+        sigma = dict.fromkeys(range(n), 0.0)
+        sigma[s] = 1.0
+        dist = dict.fromkeys(range(n), -1)
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            S.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = dict.fromkeys(range(n), 0.0)
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    if not directed:
+        for v in bc:
+            bc[v] /= 2.0
+    return bc
+
+
+def _random_arcs(n, p, seed, directed=True):
+    rng = random.Random(seed)
+    out = set()
+    for u in range(n):
+        for v in range(n):
+            if u != v and rng.random() < p:
+                out.add((u, v) if directed else (min(u, v), max(u, v)))
+    return sorted(out)
+
+
+# ------------------------------------------------------------ paths / closeness
+
+
+def test_get_shortest_paths_small(spark):
+    from xdata_igraph_spark.operators.paths import get_shortest_paths
+
+    # 0→1→3, 0→2→3 (tie → parent min id = 1), 3→4
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], directed=True
+    )
+    out = {r["target"]: (r["dist"], r["path"]) for r in
+           get_shortest_paths(g, 0).collect()}
+    assert out[0] == (0.0, [0])
+    assert out[1] == (1.0, [0, 1])
+    assert out[3] == (2.0, [0, 1, 3])  # min-parent tie-break
+    assert out[4] == (3.0, [0, 1, 3, 4])
+
+
+def test_closeness_formula(spark):
+    from xdata_igraph_spark.operators.paths import closeness
+
+    # directed path 0→1→2 plus isolated-ish structure
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2)], directed=True, n=3)
+    out = {r["id"]: r["closeness"] for r in closeness(g, mode="out").collect()}
+    n = 3
+    # vertex 0 reaches {0,1,2}: total = 0+1+2 = 3 → 1/3
+    assert out[0] == pytest.approx(1.0 / 3.0)
+    # vertex 1 reaches {1,2}: total = 1 + 3*(3-2) = 4
+    assert out[1] == pytest.approx(1.0 / 4.0)
+    # vertex 2 reaches {2}: total = 0 + 3*2 = 6
+    assert out[2] == pytest.approx(1.0 / 6.0)
+    norm = {r["id"]: r["closeness"]
+            for r in closeness(g, mode="out", normalized=True).collect()}
+    assert norm[0] == pytest.approx((n - 1) / 3.0)
+
+
+def test_path_length_hist_ring(spark):
+    from xdata_igraph_spark.operators.paths import path_length_hist
+    from xdata_igraph_spark.sources.generators import ring
+
+    g = ring(spark, 6, directed=False)
+    hist = {r["dist"]: r["npairs"] for r in path_length_hist(g).collect()}
+    # C6 unordered pairs: 6 at dist 1, 6 at dist 2, 3 at dist 3
+    assert hist == {1.0: 6, 2.0: 6, 3.0: 3}
+
+
+def test_girth_famous(spark):
+    from xdata_igraph_spark.operators.paths import girth
+    from xdata_igraph_spark.sources.generators import famous
+
+    for name, g_expect in [("bull", 3), ("petersen", 5), ("heawood", 6),
+                           ("frucht", 3), ("chvatal", 4)]:
+        assert girth(famous(spark, name)) == g_expect, name
+    from xdata_igraph_spark.sources.generators import tree
+
+    assert math.isinf(girth(tree(spark, 7, 2)))
+
+
+# ------------------------------------------------------------ betweenness
+
+
+def test_betweenness_path(spark):
+    from xdata_igraph_spark.operators.centrality import betweenness
+
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2)], directed=False)
+    out = {r["id"]: r["betweenness"] for r in betweenness(g).collect()}
+    assert out == {0: 0.0, 1: 1.0, 2: 0.0}
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_betweenness_random_vs_python(spark, directed):
+    from xdata_igraph_spark.operators.centrality import betweenness
+
+    n = 12
+    arcs = _random_arcs(n, 0.25, seed=5, directed=directed)
+    ref = _py_brandes(n, arcs, directed=directed)
+    g = LinkGraph.from_pairs(spark, arcs, directed=directed, n=n)
+    out = {r["id"]: r["betweenness"]
+           for r in betweenness(g, directed=directed).collect()}
+    for v in range(n):
+        assert out[v] == pytest.approx(ref[v], abs=1e-9), v
+
+
+# ------------------------------------------------------------ triad census
+
+
+def test_triad_census_bruteforce(spark):
+    from xdata_igraph_spark.operators.structure import TRIAD_NAMES, triad_census
+
+    n = 13
+    arcs = set(_random_arcs(n, 0.2, seed=11, directed=True))
+
+    def classify(tri):
+        x, y, z = tri
+
+        def t(a, b):
+            return ((a, b) in arcs) + ((b, a) in arcs)
+
+        m = sum(t(a, b) == 2 for a, b in [(x, y), (x, z), (y, z)])
+        a_ = sum(t(a, b) == 1 for a, b in [(x, y), (x, z), (y, z)])
+        outd = dict.fromkeys(tri, 0)
+        ind = dict.fromkeys(tri, 0)
+        for (u, v) in itertools.permutations(tri, 2):
+            if (u, v) in arcs and (v, u) not in arcs:
+                outd[u] += 1
+                ind[v] += 1
+        if m == 0 and a_ == 0:
+            return "003"
+        if m == 0 and a_ == 1:
+            return "012"
+        if m == 1 and a_ == 0:
+            return "102"
+        if m == 0 and a_ == 2:
+            if max(outd.values()) == 2:
+                return "021D"
+            if max(ind.values()) == 2:
+                return "021U"
+            return "021C"
+        if m == 1 and a_ == 1:
+            third = z if t(x, y) == 2 else (y if t(x, z) == 2 else x)
+            return "111D" if outd[third] == 1 else "111U"
+        if m == 0 and a_ == 3:
+            return "030C" if all(outd[v] == 1 for v in tri) else "030T"
+        if m == 2 and a_ == 0:
+            return "201"
+        if m == 1 and a_ == 2:
+            third = z if t(x, y) == 2 else (y if t(x, z) == 2 else x)
+            if outd[third] == 0:
+                return "120D"
+            if ind[third] == 0:
+                return "120U"
+            return "120C"
+        if m == 2 and a_ == 1:
+            return "210"
+        return "300"
+
+    ref = dict.fromkeys(TRIAD_NAMES, 0)
+    for tri in itertools.combinations(range(n), 3):
+        ref[classify(tri)] += 1
+    g = LinkGraph.from_pairs(spark, sorted(arcs), directed=True, n=n)
+    out = {r["triad"]: r["count"] for r in triad_census(g).collect()}
+    assert out == ref
+
+
+# ------------------------------------------------------------ k-core / scan
+
+
+def test_kcore_hindex_equals_peel(spark):
+    from xdata_igraph_spark.operators.kcore import coreness
+
+    arcs = _random_arcs(14, 0.25, seed=3, directed=False)
+    g = LinkGraph.from_pairs(spark, arcs, directed=False, n=14)
+    hx = {r["id"]: r["coreness"] for r in coreness(g, method="hindex").collect()}
+    peel = {r["id"]: r["coreness"] for r in coreness(g, method="peel").collect()}
+    assert hx == peel
+
+
+def test_scan_k1_equals_scan1(spark):
+    from xdata_igraph_spark.operators.scan_stats import scan1, scan_k_ecount
+
+    arcs = _random_arcs(12, 0.3, seed=9, directed=False)
+    g = LinkGraph.from_pairs(spark, arcs, directed=False, n=12)
+    s1 = {r["id"]: r["scan1"] for r in scan1(g).collect()}
+    sk = {r["id"]: r["scan"] for r in scan_k_ecount(g, k=1).collect()}
+    assert sk == s1
+
+
+def test_scan_k_full_graph_saturates(spark):
+    from xdata_igraph_spark.operators.scan_stats import scan_k_ecount
+    from xdata_igraph_spark.sources.generators import ring
+
+    # C6: 2-hop closed neighborhood of each vertex = 5 vertices holding
+    # 4 ring edges
+    g = ring(spark, 6, directed=False)
+    out = {r["id"]: r["scan"] for r in scan_k_ecount(g, k=2).collect()}
+    assert out == dict.fromkeys(range(6), 4)
+
+
+def test_scan_k_them_matches_scan1_them(spark):
+    from xdata_igraph_spark.operators.scan_stats import (
+        scan1_them,
+        scan_k_ecount_them,
+    )
+
+    us = LinkGraph.from_pairs(
+        spark, _random_arcs(10, 0.3, seed=21, directed=False), directed=False, n=10
+    )
+    them = LinkGraph.from_pairs(
+        spark, _random_arcs(10, 0.3, seed=22, directed=False), directed=False, n=10
+    )
+    a = {r["id"]: r["scan1_them"] for r in scan1_them(us, them).collect()}
+    b = {r["id"]: r["scan"] for r in scan_k_ecount_them(us, them, k=1).collect()}
+    assert a == b
+
+
+# ------------------------------------------------------------ barrat
+
+
+def test_barrat_unit_weights_equals_local_transitivity(spark):
+    from xdata_igraph_spark.operators.triangles import (
+        transitivity_barrat,
+        transitivity_local_undirected,
+    )
+
+    arcs = _random_arcs(12, 0.35, seed=13, directed=False)
+    g = LinkGraph.from_pairs(spark, arcs, directed=False, n=12)
+    b = {r["id"]: r["barrat"] for r in transitivity_barrat(g).collect()}
+    t = {r["id"]: r[1] for r in transitivity_local_undirected(g).collect()}
+    for v in range(12):
+        if math.isnan(t[v]):
+            assert math.isnan(b[v])
+        else:
+            assert b[v] == pytest.approx(t[v], abs=1e-12)
+
+
+# ------------------------------------------------------------ generators
+
+
+def test_kautz_structure(spark):
+    from xdata_igraph_spark.sources.generators import kautz
+
+    g = kautz(spark, 2, 2)
+    assert g.vcount() == 12 and g.ecount() == 24
+    degs = g.degrees("out")
+    assert degs.filter(F.col("degree") != 2).count() == 0
+
+
+def test_famous_catalog(spark):
+    from xdata_igraph_spark.operators.triangles import count_triangles
+    from xdata_igraph_spark.sources.generators import famous
+
+    heawood = famous(spark, "heawood")
+    assert (heawood.vcount(), heawood.ecount()) == (14, 21)
+    assert heawood.degrees().filter(F.col("degree") != 3).count() == 0
+    ico = famous(spark, "icosahedral")
+    assert (ico.vcount(), ico.ecount()) == (12, 30)
+    assert ico.degrees().filter(F.col("degree") != 5).count() == 0
+    # the Grötzsch graph is triangle-free
+    assert count_triangles(famous(spark, "grotzsch")) == 0
+    cub = famous(spark, "cubical")
+    assert (cub.vcount(), cub.ecount()) == (8, 12)
+
+
+def test_degree_sequence_game(spark):
+    from xdata_igraph_spark.sources.generators import degree_sequence_game
+
+    seq = [3, 3, 2, 2, 1, 1]
+    g = degree_sequence_game(spark, seq, seed=7)
+    degs = {r["id"]: r["degree"] for r in g.degrees("all").collect()}
+    assert [degs[i] for i in range(6)] == seq
+
+
+def test_gnm_dense_request(spark):
+    from xdata_igraph_spark.sources.generators import gnm
+
+    g = gnm(spark, 20, 180, directed=False, seed=3)  # 180 of 190 possible
+    assert g.ecount() == 180
+    assert g.is_simple()
+
+
+# ------------------------------------------------------------ core API
+
+
+def test_core_api_additions(spark):
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (1, 2), (2, 0), (2, 2), (0, 1)], directed=True, n=4
+    )
+    assert not g.is_simple()
+    assert g.has_multiple()
+    simple = g.simplify()
+    assert simple.is_simple()
+    g2 = simple.add_edges([(3, 0)])
+    assert g2.ecount() == simple.ecount() + 1
+    g3 = g2.add_vertices(2)
+    assert g3.vcount() == 6
+    eid = simple.get_eid(0, 1)
+    assert eid >= 0
+    assert simple.get_eid(1, 0, error=False) == -1
+    inc = {r["eid"] for r in simple.incident(2, "out").collect()}
+    assert len(inc) == 1
+    sub = g2.subgraph_edges(
+        spark.createDataFrame([(0, 1)], "src long, dst long")
+    )
+    assert sub.ecount() == 1
+
+
+def test_subcomponent_and_decompose(spark):
+    from xdata_igraph_spark.operators.components import decompose, subcomponent
+
+    # two components: {0,1,2} cycle and {5,6} edge
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (1, 2), (2, 0), (5, 6)], directed=True
+    )
+    sc = {r["id"] for r in subcomponent(g, 0, mode="out").collect()}
+    assert sc == {0, 1, 2}
+    parts = decompose(g, mode="weak")
+    sizes = sorted(p.vertices().count() for p in parts)
+    assert sizes == [2, 3]
+    big = decompose(g, mode="weak", minelements=3)
+    assert len(big) == 1
+
+
+def test_resume_fingerprint_guard(spark, tmp_path):
+    from xdata_igraph_spark.operators.pagerank import pagerank
+
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 0), (1, 2)], directed=True)
+    ck = str(tmp_path / "ck")
+    pagerank(g, tol=0.0, max_iter=3, checkpoint_dir=ck, checkpoint_interval=1)
+    # same params resume fine
+    pagerank(g, tol=0.0, max_iter=4, checkpoint_dir=ck, checkpoint_interval=1)
+    with pytest.raises(ValueError, match="different graph/parameters"):
+        pagerank(g, damping=0.5, tol=0.0, max_iter=4, checkpoint_dir=ck,
+                 checkpoint_interval=1)
+
+
+def test_empty_graph_guards(spark):
+    from xdata_igraph_spark.operators.components import scc
+    from xdata_igraph_spark.operators.kcore import coreness
+    from xdata_igraph_spark.operators.paths import topological_sorting
+
+    g = LinkGraph.empty(spark, 0)
+    assert scc(g).count() == 0
+    assert coreness(g, method="peel").count() == 0
+    assert topological_sorting(g).count() == 0

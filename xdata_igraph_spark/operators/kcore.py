@@ -1,27 +1,38 @@
-"""k-core decomposition — distributed peeling.
+"""k-core decomposition.
 
 Reference: igraph_coreness (/root/reference/src/cores.c:58-130), a
-sequential bucket-queue peel. Distributed version: for k = 1, 2, …
-repeatedly delete vertices whose degree in the remaining subgraph is
-< k; vertices deleted while peeling for k have coreness k-1. Mode
-follows the reference (out/in/all degrees; undirected = all).
+sequential bucket-queue peel. Two distributed formulations:
 
-Each peel step is a degree aggregate + anti-join on the cached active
-edge set; the number of supersteps is bounded by the degeneracy times
-the peel depth — the same asymptotics as Montresor et al.'s
-distributed k-core, expressed relationally.
+- **h-index fixpoint** (default): c₀ = degree; c_{t+1}(v) = H-index of
+  the neighbors' c_t (largest h with ≥ h neighbors at value ≥ h).
+  Converges monotonically to the coreness (Lü, Zhou, Zhang, Stanley,
+  "The H-index of a network node", Nature Comm. 7:10168, 2016) in a
+  few dozen supersteps on real graphs — each superstep one edge-size
+  join + a per-vertex-keyed window + aggregate, all partitioned.
+  This is the 100-TB path: superstep count is small and independent of
+  the peel depth.
+- **peel** (cross-check): for k = 1, 2, … repeatedly delete vertices
+  with remaining degree < k (Montresor et al. semantics, relationally);
+  exact but with O(degeneracy × waves) tiny supersteps — test scale.
+
+Mode follows the reference (out/in/all degrees; undirected = all).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from xdata_igraph_spark.graph import LinkGraph
 
 
-def coreness(graph: LinkGraph, mode: str = "all") -> DataFrame:
+def coreness(graph: LinkGraph, mode: str = "all", method: str = "hindex",
+             max_iter: int = 10_000) -> DataFrame:
     """Per-vertex coreness → (id: long, coreness: long)."""
+    if method == "hindex":
+        return _coreness_hindex(graph, mode, max_iter)
+    if method != "peel":
+        raise ValueError("method must be 'hindex' or 'peel'")
     if mode == "all" or not graph.directed:
         adj = graph.symmetrized()
     elif mode == "out":
@@ -70,6 +81,68 @@ def coreness(graph: LinkGraph, mode: str = "all") -> DataFrame:
     for p in result_parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _coreness_hindex(graph: LinkGraph, mode: str, max_iter: int) -> DataFrame:
+    """H-index fixpoint (module docstring); identical output to the
+    peel — tests assert equality of both methods."""
+    if mode == "all" or not graph.directed:
+        adj = graph.symmetrized()
+    elif mode == "out":
+        adj = graph.edges
+    else:
+        adj = graph.adjacency("in")
+    edges = (
+        adj.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    vals = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("val")
+    )
+    verts = graph.vertices()
+    vals = (
+        verts.join(vals, "id", "left")
+        .select("id", F.coalesce("val", F.lit(0)).alias("val"))
+        .repartition("id")
+        .localCheckpoint(eager=True)
+    )
+    for _it in range(max_iter):
+        nbr = edges.join(
+            vals.select(F.col("id").alias("dst"), "val"), "dst"
+        ).select("src", "val")
+        # per-vertex window (keyed by src — no global exchange):
+        # h = max rank r with r-th largest neighbor value >= r
+        w = Window.partitionBy("src").orderBy(F.desc("val"))
+        h = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("val") >= F.col("rn"))
+            .groupBy("src")
+            .agg(F.max("rn").cast("long").alias("h"))
+        )
+        new_vals = (
+            vals.join(h, vals.id == h.src, "left")
+            .select(
+                "id",
+                F.col("val").alias("_old"),
+                F.coalesce("h", F.lit(0)).alias("val"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_vals.filter(F.col("val") != F.col("_old")).count()
+        vals = new_vals.drop("_old")
+        if changed == 0:
+            break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"coreness h-index iteration hit max_iter={max_iter} before "
+            "fixpoint; values may overestimate coreness",
+            RuntimeWarning,
+        )
+    return vals.select("id", F.col("val").alias("coreness"))
 
 
 def k_core_subgraph(graph: LinkGraph, k: int) -> LinkGraph:
