@@ -124,10 +124,32 @@ def main() -> None:
 
     timed("minhash_lsh", lambda: minhash_lsh_candidates(docs).count())
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    from xdata_igraph_spark.operators.ann import cosine_topk
+    from xdata_igraph_spark.operators.dedup import simhash
 
-    timed("embedding_topk", lambda: cosine_topk(emb, k=3).count())
+    timed("simhash", lambda: simhash(docs).count())
+
+    # --- ANN: the LSH path is the headline (the 100-TB design never
+    # runs the n² brute force); exact top-k runs only on a probe subset
+    # as the recall oracle ---
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").localCheckpoint()
+    from xdata_igraph_spark.operators.ann import cosine_topk_blocked, srp_topk
+
+    srp = timed(
+        "srp_topk",
+        lambda: srp_topk(
+            emb, k=3, n_planes=8, dim=64, n_tables=4, multiprobe=1
+        ).localCheckpoint(eager=True),
+    )
+    probe = emb.filter(F.col("vec_id") < 200)
+    exact = timed(
+        "embedding_topk_exact_probe",
+        lambda: cosine_topk_blocked(emb, k=3, probe=probe).localCheckpoint(
+            eager=True
+        ),
+    )
+    hits = exact.join(srp, ["query_id", "neighbor_id"], "left_semi").count()
+    n_exact = exact.count()
+    extra["srp_recall_at3"] = round(hits / n_exact, 4) if n_exact else None
 
     total = round(time.monotonic() - t_total, 3)
     print(

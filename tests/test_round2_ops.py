@@ -392,3 +392,27 @@ def test_empty_graph_guards(spark):
     assert scc(g).count() == 0
     assert coreness(g, method="peel").count() == 0
     assert topological_sorting(g).count() == 0
+
+
+def test_srp_multiprobe_recall(spark):
+    import os
+
+    from xdata_igraph_spark.operators.ann import cosine_topk, srp_topk
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata not present")
+    emb = spark.read.parquet(path).localCheckpoint()
+    probe = emb.filter(F.col("vec_id") < 100)
+    exact = cosine_topk(emb, k=3, probe=probe).localCheckpoint(eager=True)
+
+    def recall(mp):
+        srp = srp_topk(emb, k=3, n_planes=8, dim=64, n_tables=4, multiprobe=mp)
+        hits = exact.join(srp, ["query_id", "neighbor_id"], "left_semi").count()
+        return hits / exact.count()
+
+    r0, r2 = recall(0), recall(2)
+    # uniformly random 64-dim vectors are LSH's worst case; multiprobe-2
+    # must still recover a solid majority of true top-3 neighbors
+    assert r2 >= 0.5
+    assert r2 > r0
