@@ -570,6 +570,39 @@ def _q_subgraph_edges(spark, sf_dir):
     return sub.degrees("all")
 
 
+def _q_edge_betweenness(spark, sf_dir):
+    from xdata_igraph_spark.operators.centrality import edge_betweenness
+
+    g = _dense_graph(spark, sf_dir)
+    pivots = g.vertices().filter(F.col("id") < 100)
+    return edge_betweenness(g, pivots=pivots, directed=True).select(
+        "src", "dst", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+def _q_louvain(spark, sf_dir):
+    # no SQL oracle: iterative modularity optimization is not
+    # SQL-expressible; the driver records the rows-only check and
+    # pytest asserts partition quality (ring-of-cliques exact, karate
+    # modularity floor)
+    from xdata_igraph_spark.operators.louvain import multilevel_communities
+
+    g = _sparse_graph(spark, sf_dir)
+    return multilevel_communities(g)
+
+
+def _q_ase(spark, sf_dir):
+    # no SQL oracle (iterative eigensolve); pytest verifies against a
+    # dense numpy eigendecomposition
+    from xdata_igraph_spark.operators.embedding import (
+        adjacency_spectral_embedding,
+    )
+
+    g = _dense_graph(spark, sf_dir)
+    X, _l = adjacency_spectral_embedding(g, no=2, max_iter=100, tol=1e-10)
+    return X.select("id", F.round(F.abs("x0"), 5).alias("ax0"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "degree_out": _q_degree("out"),
@@ -624,6 +657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitivity_barrat": _q_barrat,
         "simhash_near_pairs": _q_simhash_near,
         "subgraph_edges_degrees": _q_subgraph_edges,
+        "edge_betweenness": _q_edge_betweenness,
+        "louvain_communities": _q_louvain,
+        "ase_embedding": _q_ase,
     }
 
 
@@ -1145,6 +1181,62 @@ scale AS (
   FROM verts)
 SELECT v.id, round(coalesce(b.bsum, 0) * (SELECT f FROM scale), 6) AS betweenness
 FROM (SELECT DISTINCT id FROM verts) v LEFT JOIN b ON b.id = v.id"""
+
+    # edge betweenness: same layered Brandes unroll, per-arc dependency
+    # terms (incl. the source-layer arcs) instead of per-tail sums
+    sql["edge_betweenness"] = f"""WITH RECURSIVE {DENSE_EDGES_SQL},
+arcs AS (SELECT DISTINCT src, dst FROM edges),
+br(s, v, dist) AS (
+  SELECT DISTINCT id, id, 0 FROM verts WHERE id < 100
+  UNION
+  SELECT br.s, e.dst, br.dist + 1 FROM br JOIN arcs e ON e.src = br.v
+  WHERE br.dist < 6
+),
+md AS (SELECT s, v, min(dist) AS dist FROM br GROUP BY s, v),
+l0 AS (SELECT DISTINCT id AS s, id AS v, 1.0 AS sigma FROM verts WHERE id < 100),
+l1 AS (
+  SELECT p.s, e.dst AS v, sum(p.sigma) AS sigma
+  FROM l0 p JOIN arcs e ON e.src = p.v
+       JOIN md ON md.s = p.s AND md.v = e.dst AND md.dist = 1
+  GROUP BY p.s, e.dst),
+l2 AS (
+  SELECT p.s, e.dst AS v, sum(p.sigma) AS sigma
+  FROM l1 p JOIN arcs e ON e.src = p.v
+       JOIN md ON md.s = p.s AND md.v = e.dst AND md.dist = 2
+  GROUP BY p.s, e.dst),
+l3 AS (
+  SELECT p.s, e.dst AS v, sum(p.sigma) AS sigma
+  FROM l2 p JOIN arcs e ON e.src = p.v
+       JOIN md ON md.s = p.s AND md.v = e.dst AND md.dist = 3
+  GROUP BY p.s, e.dst),
+ed2 AS (
+  SELECT u.s, u.v AS src, e.dst, u.sigma / w.sigma * 1.0 AS val
+  FROM l2 u JOIN arcs e ON e.src = u.v
+       JOIN l3 w ON w.s = u.s AND w.v = e.dst),
+d2 AS (SELECT s, src AS v, sum(val) AS delta FROM ed2 GROUP BY s, src),
+ed1 AS (
+  SELECT u.s, u.v AS src, e.dst,
+         u.sigma / w.sigma * (1.0 + coalesce(dw.delta, 0)) AS val
+  FROM l1 u JOIN arcs e ON e.src = u.v
+       JOIN l2 w ON w.s = u.s AND w.v = e.dst
+       LEFT JOIN d2 dw ON dw.s = w.s AND dw.v = w.v),
+d1 AS (SELECT s, src AS v, sum(val) AS delta FROM ed1 GROUP BY s, src),
+ed0 AS (
+  SELECT u.s, u.v AS src, e.dst,
+         u.sigma / w.sigma * (1.0 + coalesce(dw.delta, 0)) AS val
+  FROM l0 u JOIN arcs e ON e.src = u.v
+       JOIN l1 w ON w.s = u.s AND w.v = e.dst
+       LEFT JOIN d1 dw ON dw.s = w.s AND dw.v = w.v),
+alle AS (
+  SELECT src, dst, val FROM ed2
+  UNION ALL SELECT src, dst, val FROM ed1
+  UNION ALL SELECT src, dst, val FROM ed0),
+eb AS (SELECT src, dst, sum(val) AS b FROM alle GROUP BY src, dst),
+scale AS (
+  SELECT count(DISTINCT id)::DOUBLE
+         / (SELECT count(DISTINCT id) FROM verts WHERE id < 100) AS f
+  FROM verts)
+SELECT src, dst, round(b * (SELECT f FROM scale), 6) AS betweenness FROM eb"""
 
     sql["transitivity_barrat"] = f"""WITH {DENSE_EDGES_SQL},
 und AS (

@@ -416,3 +416,154 @@ def test_srp_multiprobe_recall(spark):
     # must still recover a solid majority of true top-3 neighbors
     assert r2 >= 0.5
     assert r2 > r0
+
+
+def _py_edge_brandes(n, arcs, directed=True):
+    adj = defaultdict(list)
+    edges = set(arcs)
+    if not directed:
+        edges |= {(b, a) for a, b in arcs}
+    for a, b in edges:
+        adj[a].append(b)
+    eb = defaultdict(float)
+    for s in range(n):
+        S, P = [], defaultdict(list)
+        sigma = dict.fromkeys(range(n), 0.0)
+        sigma[s] = 1.0
+        dist = dict.fromkeys(range(n), -1)
+        dist[s] = 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            S.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = dict.fromkeys(range(n), 0.0)
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                c = sigma[v] / sigma[w] * (1 + delta[w])
+                eb[(v, w)] += c
+                delta[v] += c
+    if not directed:
+        merged = defaultdict(float)
+        for (a, b), v in eb.items():
+            merged[(min(a, b), max(a, b))] += v / 2.0
+        return dict(merged)
+    return dict(eb)
+
+
+@pytest.mark.parametrize("directed", [True, False])
+def test_edge_betweenness_random(spark, directed):
+    from xdata_igraph_spark.operators.centrality import edge_betweenness
+
+    n = 11
+    arcs = _random_arcs(n, 0.25, seed=17, directed=directed)
+    ref = _py_edge_brandes(n, arcs, directed=directed)
+    g = LinkGraph.from_pairs(spark, arcs, directed=directed, n=n)
+    out = {(r["src"], r["dst"]): r["betweenness"]
+           for r in edge_betweenness(g, directed=directed).collect()}
+    for k, v in ref.items():
+        assert out.get(k, 0.0) == pytest.approx(v, abs=1e-9), k
+    for k in out:
+        assert k in ref or out[k] == pytest.approx(0.0)
+
+
+def test_bfs_dfs(spark):
+    from xdata_igraph_spark.operators.paths import bfs, dfs
+
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], directed=True
+    )
+    b = {r["id"]: (r["dist"], r["parent"], r["order"]) for r in bfs(g, 0).collect()}
+    assert b[0] == (0, None, 0)
+    assert b[1][0] == 1 and b[2][0] == 1
+    assert b[3] == (2, 1, 3)  # min-parent, order after layer-1
+    assert b[4] == (3, 3, 4)
+    d = {r["id"]: (r["order"], r["parent"]) for r in dfs(g, 0).collect()}
+    # neighbors ascending: 0 → 1 → 3 → 4, backtrack → 2
+    assert d[0] == (0, None)
+    assert d[1] == (1, 0)
+    assert d[3] == (2, 1)
+    assert d[4] == (3, 3)
+    assert d[2] == (4, 0)
+
+
+def test_centralization_degree_star(spark):
+    from xdata_igraph_spark.operators.centrality import centralization_degree
+    from xdata_igraph_spark.sources.generators import star
+
+    # an undirected star is the maximally centralized graph: 1.0
+    g = star(spark, 7, mode="undirected")
+    assert centralization_degree(g) == pytest.approx(1.0)
+
+
+def test_louvain_ring_of_cliques(spark):
+    from xdata_igraph_spark.operators.lpa import modularity
+    from xdata_igraph_spark.operators.louvain import multilevel_communities
+
+    # 4 cliques of 5, joined in a ring by single bridges
+    pairs = []
+    for c in range(4):
+        base = c * 5
+        for i in range(5):
+            for j in range(i + 1, 5):
+                pairs.append((base + i, base + j))
+        pairs.append((base, ((c + 1) % 4) * 5 + 1))
+    g = LinkGraph.from_pairs(spark, pairs, directed=False, n=20)
+    mem = multilevel_communities(g)
+    labels = {r["id"]: r["label"] for r in mem.collect()}
+    # each clique ends up in one community
+    for c in range(4):
+        vals = {labels[c * 5 + i] for i in range(5)}
+        assert len(vals) == 1, (c, vals)
+    assert len(set(labels.values())) == 4
+    q = modularity(g, mem.select("id", F.col("label").alias("c")))
+    assert q > 0.6
+
+
+def test_louvain_karate_quality(spark):
+    from xdata_igraph_spark.operators.lpa import modularity
+    from xdata_igraph_spark.operators.louvain import multilevel_communities
+    from xdata_igraph_spark.sources.generators import famous
+
+    g = famous(spark, "zachary")
+    mem = multilevel_communities(g)
+    q = modularity(g, mem.select("id", F.col("label").alias("c")))
+    # igraph's sequential multilevel reaches ~0.4188 on karate; the
+    # synchronous distributed variant must still find real structure
+    assert q >= 0.35
+    k = mem.select("label").distinct().count()
+    assert 2 <= k <= 8
+
+
+def test_spectral_embedding_vs_numpy(spark):
+    import numpy as np
+
+    from xdata_igraph_spark.operators.embedding import (
+        adjacency_spectral_embedding,
+    )
+
+    arcs = _random_arcs(14, 0.3, seed=29, directed=False)
+    g = LinkGraph.from_pairs(spark, arcs, directed=False, n=14)
+    X, lambdas = adjacency_spectral_embedding(
+        g, no=3, scaled=True, max_iter=150, tol=1e-10
+    )
+    A = np.zeros((14, 14))
+    for a, b in arcs:
+        A[a, b] = A[b, a] = 1.0
+    w, V = np.linalg.eigh(A)
+    order = np.argsort(-np.abs(w))[:3]
+    ref_l = w[order]
+    assert np.allclose(sorted(np.abs(lambdas), reverse=True),
+                       sorted(np.abs(ref_l), reverse=True), atol=1e-4)
+    # columns match up to sign: compare |X| to |u·sqrt(|λ|)|
+    rows = {r["id"]: [r["x0"], r["x1"], r["x2"]] for r in X.collect()}
+    got = np.array([rows[i] for i in range(14)])
+    ref = V[:, order] * np.sqrt(np.abs(ref_l))
+    assert np.allclose(np.abs(got), np.abs(ref), atol=1e-3)

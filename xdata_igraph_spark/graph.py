@@ -619,6 +619,29 @@ class LinkGraph:
         )
         return LinkGraph(e, directed=self.directed)
 
+    def get_adjacency(self, max_n: int = 10_000) -> DataFrame:
+        """Adjacency counts as a COO table (row, col, n) —
+        igraph_get_adjacency's sparse form (/root/reference/src/
+        conversion.c:35-269): n = number of parallel arcs (undirected
+        graphs count each stored edge for both orientations, loops
+        twice on the diagonal, per the reference's BOTH mode).
+        Dense-matrix materialization is a pivot away and O(n²) — the
+        guard keeps it at test scale like complementer()."""
+        if self.vcount() > max_n:
+            raise ValueError(
+                f"get_adjacency materializes O(n^2) potential cells; "
+                f"refusing n > {max_n}"
+            )
+        e = self.edges
+        if not self.directed:
+            e = e.union(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+            )
+        return (
+            e.groupBy(F.col("src").alias("row"), F.col("dst").alias("col"))
+            .agg(F.count("*").alias("n"))
+        )
+
     def stochastic_edges(self, by: str = "src") -> DataFrame:
         """Row-normalized adjacency (igraph_get_stochastic,
         /root/reference/src/conversion.c:722-900): weight / out-strength.

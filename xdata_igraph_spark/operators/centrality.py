@@ -190,6 +190,7 @@ def betweenness(
     pivots: list[int] | DataFrame | None = None,
     directed: bool = True,
     max_depth: int = 200,
+    _collect_edges: bool = False,
 ) -> DataFrame:
     """Vertex betweenness → (id, betweenness) (igraph_betweenness,
     /root/reference/src/centrality.c:1527-1569; estimate variant
@@ -262,6 +263,7 @@ def betweenness(
     # delta rows exist only once a vertex receives a contribution
     verts = graph.vertices()
     acc = None  # (id, betweenness) accumulated over (source, v≠source)
+    eacc = None  # (src, dst, b) per-edge contributions (edge betweenness)
     delta_prev = None  # (source, id, delta) for the layer below
     for d in range(len(layers) - 1, 0, -1):
         w_layer = layers[d].select(
@@ -277,17 +279,29 @@ def betweenness(
         u_layer = layers[d - 1].select(
             "source", F.col("id").alias("src"), F.col("sigma").alias("sigma_u")
         )
-        contrib = (
+        # per-DAG-edge dependency rows: the edge-betweenness terms AND
+        # (summed per tail) the vertex deltas, from one join
+        rows = (
             u_layer.join(e, "src")
             .join(w_layer, ["source", "dst"])
-            .groupBy("source", F.col("src").alias("id"))
-            .agg(
-                F.sum(
+            .select(
+                "source",
+                "src",
+                "dst",
+                (
                     F.col("sigma_u") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
-                ).alias("delta")
+                ).alias("val"),
             )
             .localCheckpoint(eager=True)
         )
+        contrib = (
+            rows.groupBy("source", F.col("src").alias("id"))
+            .agg(F.sum("val").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        if _collect_edges:
+            epart = rows.groupBy("src", "dst").agg(F.sum("val").alias("b"))
+            eacc = epart if eacc is None else eacc.unionByName(epart)
         # delta of layer d-1 = contributions from layer d (a vertex's
         # shortest-path successors all sit exactly one layer deeper)
         delta_prev = contrib.withColumnRenamed("id", "dst").select(
@@ -297,10 +311,29 @@ def betweenness(
             F.sum("delta").alias("b")
         )
         acc = part if acc is None else acc.unionByName(part)
+    factor = scale * (0.5 if not use_directed else 1.0)
+    if _collect_edges:
+        if eacc is None:
+            return e.select("src", "dst", F.lit(0.0).alias("betweenness")).filter(
+                F.lit(False)
+            )
+        eb = eacc.groupBy("src", "dst").agg(F.sum("b").alias("b"))
+        if not use_directed:
+            eb = (
+                eb.select(
+                    F.least("src", "dst").alias("src"),
+                    F.greatest("src", "dst").alias("dst"),
+                    "b",
+                )
+                .groupBy("src", "dst")
+                .agg(F.sum("b").alias("b"))
+            )
+        return eb.select(
+            "src", "dst", (F.col("b") * F.lit(factor)).alias("betweenness")
+        )
     if acc is None:
         return verts.select("id", F.lit(0.0).alias("betweenness"))
     total = acc.groupBy("id").agg(F.sum("b").alias("b"))
-    factor = scale * (0.5 if not use_directed else 1.0)
     return (
         verts.join(total, "id", "left")
         .select(
@@ -308,3 +341,60 @@ def betweenness(
             (F.coalesce("b", F.lit(0.0)) * F.lit(factor)).alias("betweenness"),
         )
     )
+
+
+def edge_betweenness(
+    graph: LinkGraph,
+    pivots: list[int] | DataFrame | None = None,
+    directed: bool = True,
+    max_depth: int = 200,
+) -> DataFrame:
+    """Edge betweenness → (src, dst, betweenness)
+    (igraph_edge_betweenness, /root/reference/src/centrality.c:2178):
+    geodesics through each edge, weighted by 1/#geodesics per pair.
+    Same batched-Brandes sweep as ``betweenness`` — the per-DAG-edge
+    dependency terms are aggregated per (src, dst) instead of per tail;
+    undirected edges report on the canonical (low, high) pair, halved
+    like the vertex scores. Only edges on ≥1 geodesic appear (others
+    are 0)."""
+    return betweenness(
+        graph,
+        pivots=pivots,
+        directed=directed,
+        max_depth=max_depth,
+        _collect_edges=True,
+    )
+
+
+def centralization(scores: DataFrame, theoretical_max: float,
+                   score_col: str | None = None) -> float:
+    """Freeman centralization of a per-vertex score vector
+    (igraph_centralization, /root/reference/src/centrality.c:2756):
+    Σ (max score − score_v) / theoretical_max; pass the family-specific
+    maximum (igraph's *_tmax helpers, e.g. degree:
+    (n−1)·(n−1+loops-adjust), betweenness: (n−1)²·(n−2)/... per mode) —
+    one aggregate pass over the score DataFrame."""
+    col = score_col or scores.columns[1]
+    row = scores.agg(F.max(col).alias("mx"), F.sum(col).alias("s"),
+                     F.count("*").alias("n")).first()
+    if not row["n"] or not theoretical_max:
+        return float("nan")
+    total = row["mx"] * row["n"] - row["s"]
+    return float(total) / float(theoretical_max)
+
+
+def centralization_degree(graph: LinkGraph, mode: str = "all",
+                          loops: bool = False) -> float:
+    """Degree centralization (igraph_centralization_degree,
+    /root/reference/src/centrality.c:2824; tmax :2904): undirected
+    no-loops tmax = (n−1)·(n−2); directed all-mode = 2(n−1)² (in/out:
+    (n−1)²); loops add n−1 per vertex slot."""
+    n = graph.vcount()
+    deg = graph.degrees(mode, loops=loops)
+    if graph.directed and mode in ("in", "out"):
+        tmax = (n - 1) * (n - 1 + (1 if loops else 0))
+    elif graph.directed:
+        tmax = 2 * (n - 1) * (n - 1 + (1 if loops else 0))
+    else:
+        tmax = (n - 1) * (n - 2 + (2 if loops else 0))
+    return centralization(deg, float(tmax), "degree")

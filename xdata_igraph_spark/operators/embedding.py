@@ -1,0 +1,205 @@
+"""Adjacency spectral embedding — the XDATA fork's latent-position
+estimator (igraph_adjacency_spectral_embedding,
+/root/reference/src/embedding.c:747-830).
+
+Reference semantics: rank-``no`` spectral decomposition of A (+ an
+optional diagonal augmentation ``cvec``); undirected graphs return
+X = U·D^(1/2) over the top-|λ| eigenpairs (ARPACK); directed graphs do
+the SVD pair. The reference drives ARPACK's restarted Lanczos through a
+matvec callback (src/embedding.c:40-130) — a sequential in-memory
+strategy.
+
+Distributed strategy: **block orthogonal (subspace) iteration with
+Rayleigh–Ritz extraction** — the standard cluster-scale replacement for
+Lanczos when the operator only exists as a distributed matvec:
+
+- the k-column iterate lives as k DOUBLE columns of a vertex DataFrame
+  (k is small — everything stays in whole-stage codegen; no arrays, no
+  UDFs);
+- one superstep = one edge join + k sum-aggregates (the matvec
+  A·X for all k columns at once) + a k×k Gram aggregate collected to
+  the driver (numpy Cholesky/eigh on a k×k matrix is free);
+- Rayleigh–Ritz: B = Xᵀ(AX) (k×k, same aggregate pass), eigh on the
+  driver, rotate the columns by literal coefficients — convergence to
+  the top-|λ| eigenpairs for symmetric A (same pairs ARPACK LM finds);
+- per-superstep driver traffic: one k(k+1)-element row. Lineage cut per
+  superstep via localCheckpoint like every other iterative operator.
+
+Tests verify against a dense numpy eigendecomposition (allclose up to
+column sign).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from xdata_igraph_spark.graph import LinkGraph
+
+
+def adjacency_spectral_embedding(
+    graph: LinkGraph,
+    no: int,
+    weighted: bool = True,
+    cvec: DataFrame | None = None,
+    scaled: bool = True,
+    max_iter: int = 200,
+    tol: float = 1e-9,
+) -> tuple[DataFrame, list[float]]:
+    """Undirected ASE → ((id, x0..x{no-1}), eigenvalues).
+
+    ``cvec``: optional (id, c) diagonal augmentation (the reference's
+    ``cvec`` parameter — commonly degree/(n-1) for the Laplacian-flavored
+    variant). ``scaled``: return X = U·|D|^(1/2) (reference default
+    path); otherwise the orthonormal U. Eigenvalues are ordered by
+    descending |λ| (ARPACK LM). Directed graphs are symmetrized the
+    IGRAPH_ALL way first (use the SVD pair semantics at your own
+    column interpretation — the reference's directed mode is the
+    A·Aᵀ analogue of the same iteration).
+    """
+    if no < 1:
+        raise ValueError("embedding dimension must be >= 1")
+    spark = graph.spark
+    k = int(no)
+
+    e = graph.edges if weighted else graph.edges.withColumn("weight", F.lit(1.0))
+    # symmetric matvec in BOTH cases: undirected graphs store each edge
+    # once and use it both ways; directed graphs embed the IGRAPH_ALL
+    # symmetrization
+    sym = e.select("src", "dst", "weight")
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    ).repartition("src").localCheckpoint(eager=True)
+
+    verts = graph.vertices()
+    if cvec is not None:
+        base = verts.join(
+            cvec.select("id", F.col(cvec.columns[1]).alias("_c")), "id", "left"
+        ).select("id", F.coalesce("_c", F.lit(0.0)).alias("_c"))
+    else:
+        base = verts.withColumn("_c", F.lit(0.0))
+    base = base.repartition("id").localCheckpoint(eager=True)
+
+    xs = [f"x{j}" for j in range(k)]
+    # deterministic pseudo-random start: k independent ±-ish columns
+    init_cols = [
+        (
+            (F.pmod(F.xxhash64("id", F.lit(j), F.lit(977)), F.lit(2_000_001))
+             - F.lit(1_000_000)) / F.lit(1_000_000.0)
+        ).alias(f"x{j}")
+        for j in range(k)
+    ]
+    state = base.select("id", "_c", *init_cols).localCheckpoint(eager=True)
+
+    prev_evals: np.ndarray | None = None
+    evals = np.zeros(k)
+    rot_applied = None
+
+    for _it in range(max_iter):
+        # ---- matvec: Y = A·X + diag(c)·X, all k columns in one pass ----
+        msgs = (
+            state.select(F.col("id").alias("src"), *xs)
+            .join(sym, "src")
+            .groupBy("dst")
+            .agg(*[F.sum(F.col("weight") * F.col(x)).alias(f"y_{x}") for x in xs])
+        )
+        y = (
+            state.join(msgs, state.id == msgs.dst, "left")
+            .select(
+                "id",
+                "_c",
+                *[
+                    (
+                        F.coalesce(F.col(f"y_{x}"), F.lit(0.0))
+                        + F.col("_c") * F.col(x)
+                    ).alias(f"y_{x}")
+                    for x in xs
+                ],
+                *xs,
+            )
+            .localCheckpoint(eager=False)
+        )
+        # ---- one aggregate: Gram(Y) and Xᵀ·Y (k×k each) ----
+        aggs = []
+        for i in range(k):
+            for j in range(i, k):
+                aggs.append(
+                    F.sum(F.col(f"y_x{i}") * F.col(f"y_x{j}")).alias(f"g_{i}_{j}")
+                )
+        for i in range(k):
+            aggs.append(F.sum(F.col(f"x{i}") * F.col(f"y_x{i}")).alias(f"r_{i}"))
+        row = y.agg(*aggs).first()
+        G = np.zeros((k, k))
+        for i in range(k):
+            for j in range(i, k):
+                G[i, j] = G[j, i] = float(row[f"g_{i}_{j}"] or 0.0)
+        rayleigh = np.array([float(row[f"r_{i}"] or 0.0) for i in range(k)])
+
+        # ---- orthonormalize + Rayleigh-Ritz rotation on the driver ----
+        # eigh of G gives Y's column space basis; project: with X
+        # orthonormal, XᵀY ≈ diag(λ) at convergence → current estimates
+        w, V = np.linalg.eigh(G)  # ascending
+        w = np.maximum(w, 1e-300)
+        # B maps Y to an orthonormal basis ordered by descending ‖Y·b‖
+        order = np.argsort(w)[::-1]
+        B = V[:, order] / np.sqrt(w[order])
+        new_evals = np.sqrt(w[order])  # ‖A·u‖ ≈ |λ| for unit u
+        coef = B  # column j of new X = Σ_i coef[i, j]·y_i
+
+        new_state = y.select(
+            "id",
+            "_c",
+            *[
+                sum(
+                    (F.col(f"y_x{i}") * float(coef[i, j]) for i in range(1, k)),
+                    F.col("y_x0") * float(coef[0, j]),
+                ).alias(f"x{j}")
+                for j in range(k)
+            ],
+        ).localCheckpoint(eager=True)
+        state = new_state
+        evals = new_evals
+        rot_applied = rayleigh
+        if prev_evals is not None:
+            denom = np.maximum(np.abs(new_evals), 1e-30)
+            if float(np.max(np.abs(new_evals - prev_evals) / denom)) < tol:
+                break
+        prev_evals = new_evals
+    del rot_applied
+
+    # ---- signed eigenvalues: λ_j = x_jᵀ·A·x_j (one more fused pass) ----
+    msgs = (
+        state.select(F.col("id").alias("src"), *xs)
+        .join(sym, "src")
+        .groupBy("dst")
+        .agg(*[F.sum(F.col("weight") * F.col(x)).alias(f"y_{x}") for x in xs])
+    )
+    z = state.join(msgs, state.id == msgs.dst, "left").select(
+        "id",
+        "_c",
+        *xs,
+        *[F.coalesce(F.col(f"y_{x}"), F.lit(0.0)).alias(f"y_{x}") for x in xs],
+    )
+    row = z.agg(
+        *[
+            F.sum(F.col(x) * (F.col(f"y_{x}") + F.col("_c") * F.col(x))).alias(
+                f"l_{j}"
+            )
+            for j, x in enumerate(xs)
+        ]
+    ).first()
+    lambdas = [float(row[f"l_{j}"] or 0.0) for j in range(k)]
+    # order by |λ| descending like ARPACK LM
+    order = sorted(range(k), key=lambda j: -abs(lambdas[j]))
+    lambdas_sorted = [lambdas[j] for j in order]
+
+    out_cols = []
+    for pos, j in enumerate(order):
+        col = F.col(f"x{j}")
+        if scaled:
+            col = col * float(math.sqrt(abs(lambdas[j])))
+        out_cols.append(col.alias(f"x{pos}"))
+    return state.select("id", *out_cols), lambdas_sorted

@@ -485,3 +485,67 @@ def girth(graph: LinkGraph, sources: list[int] | DataFrame | None = None) -> flo
     )
     row = cand.agg(F.min("clen")).first()
     return float(row[0]) if row[0] is not None else float("inf")
+
+
+def bfs(graph: LinkGraph, root: int, mode: str = "out") -> DataFrame:
+    """BFS from ``root`` → (id, dist, parent, order)
+    (igraph_bfs, /root/reference/src/visitors.c:33): layers, parents,
+    and a deterministic visit order — rank by (dist, id). igraph's
+    queue emits same-layer vertices in adjacency-discovery order, which
+    can interleave differently; the layer partition and parent tree are
+    equivalent (same deviation contract as topological_sorting). The
+    reference's callback visitor becomes the returned DataFrame —
+    downstream transformations replace callbacks.
+    """
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+    st = shortest_paths_with_parents(graph, [int(root)], mode=mode)
+    out = st.select("id", F.col("dist").cast("long").alias("dist"), "parent")
+    return zip_dense_ids(out, ["dist", "id"], out_col="order")
+
+
+def dfs(graph: LinkGraph, root: int, mode: str = "out",
+        max_edges: int = 5_000_000) -> DataFrame:
+    """DFS from ``root`` → (id, order, parent, dist)
+    (igraph_dfs, /root/reference/src/visitors.c:349). Depth-first
+    order is inherently sequential (the stack IS the result), so the
+    traversal runs driver-side over a collected adjacency — exactly
+    what the single-node reference does — guarded by ``max_edges``.
+    Neighbors are visited in ascending id order (deterministic; the
+    reference follows its adjacency-list order).
+    """
+    m = graph.ecount()
+    if m > max_edges:
+        raise ValueError(
+            f"dfs is sequential by definition; refusing |E|={m} > "
+            f"{max_edges} (raise max_edges explicitly if intended)"
+        )
+    adj_rows = (
+        graph.adjacency(mode)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for r in adj_rows:
+        adj[r["src"]].append(r["dst"])
+    for k in adj:
+        adj[k].sort(reverse=True)  # stack pops smallest first
+    seen = {int(root)}
+    rows = []
+    stack: list[tuple[int, int | None, int]] = [(int(root), None, 0)]
+    order = 0
+    while stack:
+        v, parent, dist = stack.pop()
+        rows.append((v, order, parent, dist))
+        order += 1
+        for w in adj.get(v, []):
+            if w not in seen:
+                seen.add(w)
+                stack.append((w, v, dist + 1))
+    return graph.spark.createDataFrame(
+        rows, "id long, order long, parent long, dist long"
+    )
