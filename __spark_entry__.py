@@ -813,22 +813,20 @@ SELECT round(
   / (sum(xa * xa) / count(*) - (sum(xa) / count(*)) ^ 2), 9
 ) AS assortativity FROM j"""
 
-    sql["scan1"] = f"""WITH {DENSE_EDGES_SQL},{_TRI_CORE_SQL},
-deg AS (
-  SELECT id, count(*) AS d FROM (
-    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
-  ) GROUP BY id
-),
-pvt AS (
-  SELECT id, count(*) AS t FROM (
-    SELECT v1 AS id FROM tri UNION ALL SELECT v2 FROM tri UNION ALL SELECT v3 FROM tri
-  ) GROUP BY id
-)
-SELECT v.id,
-       CAST(coalesce(deg.d, 0) + coalesce(pvt.t, 0) AS BIGINT) AS scan1
-FROM verts v
-LEFT JOIN deg ON v.id = deg.id
-LEFT JOIN pvt ON v.id = pvt.id"""
+    # per-arc reference semantics (scan.c:172-236): every stored arc with
+    # both endpoints in the closed 1-neighborhood counts once — a directed
+    # reciprocal pair inside N[v] contributes 2
+    sql["scan1"] = f"""WITH {DENSE_EDGES_SQL},
+sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
+closed AS (SELECT id AS v, id AS u FROM verts UNION SELECT s, d FROM sym),
+cnt AS (
+  SELECT pa.v, count(*) AS c
+  FROM edges e
+  JOIN closed pa ON pa.u = e.src
+  JOIN closed pb ON pb.v = pa.v AND pb.u = e.dst
+  GROUP BY pa.v)
+SELECT v.id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS scan1
+FROM verts v LEFT JOIN cnt ON cnt.v = v.id"""
 
     sql["scan0_them"] = f"""WITH
 us AS (
@@ -996,7 +994,7 @@ FROM md WHERE s <> d GROUP BY dist"""
     CASE WHEN out_x = 1 AND out_y = 1 AND out_z = 1 THEN 9 ELSE 8 END
   WHEN m = 2 AND a = 0 THEN 10
   WHEN m = 1 AND a = 2 THEN
-    CASE WHEN third_out = 0 THEN 11 WHEN third_in = 0 THEN 12 ELSE 13 END
+    CASE WHEN third_in = 0 THEN 11 WHEN third_out = 0 THEN 12 ELSE 13 END
   WHEN m = 2 AND a = 1 THEN 14
   ELSE 15 END"""
     _tc_names = ", ".join(
@@ -1086,13 +1084,11 @@ reach AS (
   SELECT id AS v, id AS u FROM sverts
   UNION SELECT v, u FROM r1
   UNION SELECT v, u FROM r2),
-und AS (
-  SELECT DISTINCT greatest(s, d) AS a, least(s, d) AS b FROM ssym),
 cnt AS (
   SELECT pa.v, count(*) AS scan
-  FROM und
-  JOIN reach pa ON pa.u = und.a
-  JOIN reach pb ON pb.v = pa.v AND pb.u = und.b
+  FROM edges e
+  JOIN reach pa ON pa.u = e.src
+  JOIN reach pb ON pb.v = pa.v AND pb.u = e.dst
   GROUP BY pa.v)
 SELECT sv.id, coalesce(cnt.scan, 0) AS scan
 FROM sverts sv LEFT JOIN cnt ON cnt.v = sv.id"""
@@ -1115,7 +1111,6 @@ them AS (
 ),
 ssym AS (SELECT src AS s, dst AS d FROM us UNION SELECT dst, src FROM us),
 sverts AS (SELECT DISTINCT s AS id FROM ssym),
-tsym AS (SELECT src AS s, dst AS d FROM them UNION SELECT dst, src FROM them),
 r1 AS (SELECT s AS v, d AS u FROM ssym),
 r2 AS (
   SELECT a.s AS v, b.d AS u FROM ssym a JOIN ssym b ON a.d = b.s),
@@ -1123,13 +1118,11 @@ reach AS (
   SELECT id AS v, id AS u FROM sverts
   UNION SELECT v, u FROM r1
   UNION SELECT v, u FROM r2),
-und AS (
-  SELECT DISTINCT greatest(s, d) AS a, least(s, d) AS b FROM tsym),
 cnt AS (
   SELECT pa.v, count(*) AS scan
-  FROM und
-  JOIN reach pa ON pa.u = und.a
-  JOIN reach pb ON pb.v = pa.v AND pb.u = und.b
+  FROM them e
+  JOIN reach pa ON pa.u = e.src
+  JOIN reach pb ON pb.v = pa.v AND pb.u = e.dst
   GROUP BY pa.v)
 SELECT sv.id, coalesce(cnt.scan, 0) AS scan
 FROM sverts sv LEFT JOIN cnt ON cnt.v = sv.id"""

@@ -195,9 +195,9 @@ def test_triad_census_bruteforce(spark):
             return "201"
         if m == 1 and a_ == 2:
             third = z if t(x, y) == 2 else (y if t(x, z) == 2 else x)
-            if outd[third] == 0:
-                return "120D"
             if ind[third] == 0:
+                return "120D"
+            if outd[third] == 0:
                 return "120U"
             return "120C"
         if m == 2 and a_ == 1:
@@ -212,6 +212,37 @@ def test_triad_census_bruteforce(spark):
     assert out == ref
 
 
+def test_triad_census_canonical_fixtures(spark):
+    """Each Davis-Leinhardt class built literally from igraph's documented
+    picture (doc of igraph_triad_census, /root/reference/src/motifs.c:976):
+    a 3-vertex graph whose single triple must land in exactly that class."""
+    from xdata_igraph_spark.operators.structure import triad_census
+
+    fixtures = {
+        "003": [],
+        "012": [(0, 1)],
+        "102": [(0, 1), (1, 0)],
+        "021D": [(1, 0), (1, 2)],                     # A<-B->C
+        "021U": [(0, 1), (2, 1)],                     # A->B<-C
+        "021C": [(0, 1), (1, 2)],                     # A->B->C
+        "111D": [(0, 1), (1, 0), (2, 1)],             # A<->B<-C
+        "111U": [(0, 1), (1, 0), (1, 2)],             # A<->B->C
+        "030T": [(0, 1), (2, 1), (0, 2)],             # A->B<-C, A->C
+        "030C": [(1, 0), (2, 1), (0, 2)],             # A<-B<-C, A->C
+        "201": [(0, 1), (1, 0), (1, 2), (2, 1)],      # A<->B<->C
+        "120D": [(1, 0), (1, 2), (0, 2), (2, 0)],     # A<-B->C, A<->C
+        "120U": [(0, 1), (2, 1), (0, 2), (2, 0)],     # A->B<-C, A<->C
+        "120C": [(0, 1), (1, 2), (0, 2), (2, 0)],     # A->B->C, A<->C
+        "210": [(0, 1), (1, 2), (2, 1), (0, 2), (2, 0)],  # A->B<->C, A<->C
+        "300": [(0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1)],
+    }
+    for name, arcs in fixtures.items():
+        g = LinkGraph.from_pairs(spark, arcs, directed=True, n=3)
+        out = {r["triad"]: r["count"] for r in triad_census(g).collect()}
+        assert out[name] == 1, (name, out)
+        assert sum(out.values()) == 1, (name, out)
+
+
 # ------------------------------------------------------------ k-core / scan
 
 
@@ -223,6 +254,20 @@ def test_kcore_hindex_equals_peel(spark):
     hx = {r["id"]: r["coreness"] for r in coreness(g, method="hindex").collect()}
     peel = {r["id"]: r["coreness"] for r in coreness(g, method="peel").collect()}
     assert hx == peel
+
+
+def test_kcore_hindex_equals_peel_directed(spark):
+    """Directed in/out/all-mode h-index fixpoint must agree with the
+    exact peel (the Lü et al. theorem's directed generalization —
+    verified here rather than assumed)."""
+    from xdata_igraph_spark.operators.kcore import coreness
+
+    arcs = _random_arcs(16, 0.3, seed=7, directed=True)
+    g = LinkGraph.from_pairs(spark, arcs, directed=True, n=16)
+    for mode in ("out", "in", "all"):
+        hx = {r["id"]: r["coreness"] for r in coreness(g, mode=mode, method="hindex").collect()}
+        pl = {r["id"]: r["coreness"] for r in coreness(g, mode=mode, method="peel").collect()}
+        assert hx == pl, mode
 
 
 def test_scan_k1_equals_scan1(spark):
@@ -244,6 +289,20 @@ def test_scan_k_full_graph_saturates(spark):
     g = ring(spark, 6, directed=False)
     out = {r["id"]: r["scan"] for r in scan_k_ecount(g, k=2).collect()}
     assert out == dict.fromkeys(range(6), 4)
+
+
+def test_scan_reciprocal_arcs_count_twice(spark):
+    """Reference incidence-walk semantics (src/scan.c:172-236,785-805):
+    a directed reciprocal pair inside the neighborhood contributes 2 —
+    each stored arc counts once, with multiplicity."""
+    from xdata_igraph_spark.operators.scan_stats import scan1, scan_k_ecount
+
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 0), (1, 2)], directed=True, n=3)
+    s1 = {r["id"]: r["scan1"] for r in scan1(g).collect()}
+    # N[0]={0,1}: arcs 0->1,1->0 → 2; N[1]={0,1,2}: all 3; N[2]={1,2}: 1->2 → 1
+    assert s1 == {0: 2, 1: 3, 2: 1}
+    sk = {r["id"]: r["scan"] for r in scan_k_ecount(g, k=2).collect()}
+    assert sk == {0: 3, 1: 3, 2: 3}
 
 
 def test_scan_k_them_matches_scan1_them(spark):
@@ -567,3 +626,30 @@ def test_spectral_embedding_vs_numpy(spark):
     got = np.array([rows[i] for i in range(14)])
     ref = V[:, order] * np.sqrt(np.abs(ref_l))
     assert np.allclose(np.abs(got), np.abs(ref), atol=1e-3)
+
+
+def test_spectral_embedding_bipartite_pm_pairs(spark):
+    """Bipartite graphs have a symmetric spectrum (±λ pairs) that the
+    A²-Ritz loop alone cannot split — the final Rayleigh–Ritz on A
+    must return the true signed pairs. Star S_5: eigenvalues ±2, 0…"""
+    import numpy as np
+
+    from xdata_igraph_spark.operators.embedding import (
+        adjacency_spectral_embedding,
+    )
+
+    arcs = [(0, i) for i in range(1, 5)]  # star, center 0, 4 leaves
+    g = LinkGraph.from_pairs(spark, arcs, directed=False, n=5)
+    X, lambdas = adjacency_spectral_embedding(
+        g, no=2, scaled=False, max_iter=200, tol=1e-12
+    )
+    assert np.allclose(sorted(lambdas), [-2.0, 2.0], atol=1e-6)
+    rows = {r["id"]: [r["x0"], r["x1"]] for r in X.collect()}
+    got = np.array([rows[i] for i in range(5)])
+    A = np.zeros((5, 5))
+    for a, b in arcs:
+        A[a, b] = A[b, a] = 1.0
+    # each returned column must be a genuine eigenvector: ‖A·x − λ·x‖ ≈ 0
+    for j, lam in enumerate(lambdas):
+        resid = A @ got[:, j] - lam * got[:, j]
+        assert float(np.abs(resid).max()) < 1e-5, (j, lam, resid)

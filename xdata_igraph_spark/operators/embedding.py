@@ -170,7 +170,12 @@ def adjacency_spectral_embedding(
         prev_evals = new_evals
     del rot_applied
 
-    # ---- signed eigenvalues: λ_j = x_jᵀ·A·x_j (one more fused pass) ----
+    # ---- final Rayleigh–Ritz on A itself: B = Xᵀ·(A + diag(c))·X ----
+    # The loop's G = YᵀY is a Ritz step w.r.t. A², which cannot split
+    # degenerate ±λ pairs (guaranteed on bipartite graphs). Projecting
+    # A onto the converged subspace and rotating X by eigh(B)'s
+    # eigenvectors recovers the true signed eigenpairs — the same pairs
+    # ARPACK LM returns.
     msgs = (
         state.select(F.col("id").alias("src"), *xs)
         .join(sym, "src")
@@ -181,25 +186,35 @@ def adjacency_spectral_embedding(
         "id",
         "_c",
         *xs,
-        *[F.coalesce(F.col(f"y_{x}"), F.lit(0.0)).alias(f"y_{x}") for x in xs],
+        *[
+            (F.coalesce(F.col(f"y_{x}"), F.lit(0.0)) + F.col("_c") * F.col(x)).alias(
+                f"y_{x}"
+            )
+            for x in xs
+        ],
     )
     row = z.agg(
         *[
-            F.sum(F.col(x) * (F.col(f"y_{x}") + F.col("_c") * F.col(x))).alias(
-                f"l_{j}"
-            )
-            for j, x in enumerate(xs)
+            F.sum(F.col(f"x{i}") * F.col(f"y_x{j}")).alias(f"b_{i}_{j}")
+            for i in range(k)
+            for j in range(i, k)
         ]
     ).first()
-    lambdas = [float(row[f"l_{j}"] or 0.0) for j in range(k)]
-    # order by |λ| descending like ARPACK LM
-    order = sorted(range(k), key=lambda j: -abs(lambdas[j]))
-    lambdas_sorted = [lambdas[j] for j in order]
+    B = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            B[i, j] = B[j, i] = float(row[f"b_{i}_{j}"] or 0.0)
+    w, V = np.linalg.eigh(B)  # ascending, orthonormal V
+    order = np.argsort(-np.abs(w))  # |λ| descending like ARPACK LM
+    lambdas_sorted = [float(w[j]) for j in order]
 
     out_cols = []
     for pos, j in enumerate(order):
-        col = F.col(f"x{j}")
+        col = sum(
+            (F.col(f"x{i}") * float(V[i, j]) for i in range(1, k)),
+            F.col("x0") * float(V[0, j]),
+        )
         if scaled:
-            col = col * float(math.sqrt(abs(lambdas[j])))
+            col = col * float(math.sqrt(abs(w[j])))
         out_cols.append(col.alias(f"x{pos}"))
     return state.select("id", *out_cols), lambdas_sorted

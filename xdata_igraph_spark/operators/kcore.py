@@ -6,7 +6,10 @@ sequential bucket-queue peel. Two distributed formulations:
 - **h-index fixpoint** (default): c₀ = degree; c_{t+1}(v) = H-index of
   the neighbors' c_t (largest h with ≥ h neighbors at value ≥ h).
   Converges monotonically to the coreness (Lü, Zhou, Zhang, Stanley,
-  "The H-index of a network node", Nature Comm. 7:10168, 2016) in a
+  "The H-index of a network node", Nature Comm. 7:10168, 2016; the
+  theorem is stated for undirected graphs — the directed in/out-mode
+  generalization (h-index over mode-neighbors' values) is verified
+  against the exact peel in tests/test_round2_ops.py) in a
   few dozen supersteps on real graphs — each superstep one edge-size
   join + a per-vertex-keyed window + aggregate, all partitioned.
   This is the 100-TB path: superstep count is small and independent of

@@ -36,8 +36,19 @@ def scan0(graph: LinkGraph, weighted: bool = False) -> DataFrame:
 
 
 def scan1(graph: LinkGraph) -> DataFrame:
-    """(id, scan1) — edges within the closed 1-neighborhood
-    (= degree + per-vertex triangle count on the simple graph)."""
+    """(id, scan1) — edges within the closed 1-neighborhood.
+
+    Reference semantics (igraph_local_scan_1_ecount ALL mode,
+    /root/reference/src/scan.c:172-236): every stored arc with both
+    endpoints inside N[v] counts once, with multiplicity — a directed
+    reciprocal pair a->b, b->a inside the neighborhood contributes 2.
+    Undirected simple graphs take the deg(v) + triangles(v) fast path
+    (same number, no neighborhood-pair materialization)."""
+    if graph.directed:
+        reached = _khop_closed(graph, 1, "all")
+        return _count_arcs_within(
+            graph, reached, graph.edges.select("src", "dst")
+        ).withColumnRenamed("scan", "scan1")
     simple = _simple_undirected(graph)
     deg = (
         simple.select(F.col("a").alias("id"))
@@ -55,6 +66,29 @@ def scan1(graph: LinkGraph) -> DataFrame:
     )
 
 
+def _count_arcs_within(
+    universe: LinkGraph, reached: DataFrame, arcs: DataFrame
+) -> DataFrame:
+    """(id, scan) — per-arc count of ``arcs`` rows (multiplicity and
+    loops preserved, exactly as stored) whose BOTH endpoints fall in
+    the neighborhood pair set ``reached`` (v, u). This is the
+    reference's incidence-walk count after ALL-mode halving: each
+    stored arc with both endpoints inside N contributes exactly 1
+    (src/scan.c:785-805 — `dist <= k || marked[nei]`, then `/= 2`)."""
+    pa = reached.select("v", F.col("u").alias("src"))
+    pb = reached.select("v", F.col("u").alias("dst"))
+    counts = (
+        arcs.join(pa, "src")
+        .join(pb, ["v", "dst"])
+        .groupBy("v")
+        .agg(F.count("*").alias("scan"))
+    )
+    verts = universe.vertices()
+    return verts.join(counts, verts.id == counts.v, "left").select(
+        "id", F.coalesce("scan", F.lit(0)).alias("scan")
+    )
+
+
 def scan0_them(us: LinkGraph, them: LinkGraph) -> DataFrame:
     """(id, scan0_them) — THEM-degree of every US vertex
     (igraph_local_scan_0_them, /root/reference/src/scan.c:565)."""
@@ -69,8 +103,12 @@ def scan1_them(us: LinkGraph, them: LinkGraph) -> DataFrame:
     closed US 1-neighborhood of v (igraph_local_scan_1_ecount_them,
     /root/reference/src/scan.c:613).
 
-    Relational plan: closed-neighborhood pairs P(v,u) from US, THEM
-    edges (a,b) counted per v via P(v,a) ⋈ P(v,b) ⋈ them(a,b).
+    Relational plan: closed-neighborhood pairs P(v,u) from US, joined
+    against the stored THEM arcs. Per-arc semantics like :func:`scan1`
+    — every stored THEM arc with both endpoints in the closed US
+    1-neighborhood counts once, with multiplicity (the reference's
+    ALL-mode incidence walk halves its double count,
+    src/scan.c:700-708).
     """
     us_sym = (
         us.symmetrized().select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
@@ -78,26 +116,9 @@ def scan1_them(us: LinkGraph, them: LinkGraph) -> DataFrame:
     closed = us_sym.select(F.col("src").alias("v"), F.col("dst").alias("u")).union(
         us.vertices().select(F.col("id").alias("v"), F.col("id").alias("u"))
     )
-    te = (
-        them.symmetrized()
-        .select(
-            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    pa = closed.select("v", F.col("u").alias("a"))
-    pb = closed.select("v", F.col("u").alias("b"))
-    counts = (
-        te.join(pa, "a").join(pb, ["v", "b"])
-        .groupBy("v")
-        .agg(F.count("*").alias("scan1_them"))
-    )
-    verts = us.vertices()
-    return (
-        verts.join(counts, verts.id == counts.v, "left")
-        .select("id", F.coalesce("scan1_them", F.lit(0)).alias("scan1_them"))
-    )
+    return _count_arcs_within(
+        us, closed, them.edges.select("src", "dst")
+    ).withColumnRenamed("scan", "scan1_them")
 
 
 def _khop_closed(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
@@ -134,12 +155,14 @@ def _khop_closed(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
 def scan_k_ecount(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
     """(id, scan) — edges of the induced subgraph of the closed
     k-neighborhood (igraph_local_scan_k_ecount,
-    /root/reference/src/scan.c:739-800: BFS to depth k, counting every
-    edge with both endpoints inside; the reference halves ALL-mode
-    counts because its incidence walk sees each edge from both ends —
-    counting canonical undirected pairs once is the same number).
+    /root/reference/src/scan.c:739-805: BFS to depth k along ``mode``
+    arcs; the incidence walk counts every edge whose endpoints both
+    land inside, then halves ALL-mode totals — net effect: **each
+    stored arc counts once, with multiplicity**. A directed reciprocal
+    pair a->b, b->a inside the neighborhood contributes 2; loops and
+    parallel arcs count as stored).
 
-    k=0 is scan0, k=1 is scan1 (the reference dispatches identically,
+    k=0 is scan0 (the reference dispatches identically,
     src/scan.c:757-759). The (v, u) neighborhood pair set is the
     scale bound: Σ_v |N_k(v)| — fine for k ≤ 2 on sparse graphs, the
     same practical limit the O(n·E) reference has.
@@ -149,41 +172,17 @@ def scan_k_ecount(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
     if k == 0:
         return scan0(graph).select("id", F.col("scan0").cast("long").alias("scan"))
     reached = _khop_closed(graph, k, mode)
-    if mode == "all" or not graph.directed:
-        edges = (
-            graph.symmetrized()
-            .select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-    else:
-        edges = (
-            graph.adjacency(mode)
-            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-    pa = reached.select("v", F.col("u").alias("a"))
-    pb = reached.select("v", F.col("u").alias("b"))
-    counts = (
-        edges.join(pa, "a")
-        .join(pb, ["v", "b"])
-        .groupBy("v")
-        .agg(F.count("*").alias("scan"))
-    )
-    verts = graph.vertices()
-    return verts.join(counts, verts.id == counts.v, "left").select(
-        "id", F.coalesce("scan", F.lit(0)).alias("scan")
-    )
+    return _count_arcs_within(graph, reached, graph.edges.select("src", "dst"))
 
 
 def scan_k_ecount_them(
     us: LinkGraph, them: LinkGraph, k: int, mode: str = "all"
 ) -> DataFrame:
-    """(id, scan) — THEM-edges with both endpoints inside the closed
+    """(id, scan) — THEM-arcs with both endpoints inside the closed
     US k-neighborhood (igraph_local_scan_k_ecount_them,
-    /root/reference/src/scan.c:831-920): neighborhoods from US, edge
-    counting on THEM, same vertex universe."""
+    /root/reference/src/scan.c:831-920): neighborhoods from US, per-arc
+    counting on THEM (multiplicity preserved, like scan_k_ecount),
+    same vertex universe."""
     if k < 0:
         raise ValueError("k must be non-negative in k-scan")
     if k == 0:
@@ -191,29 +190,4 @@ def scan_k_ecount_them(
             "id", F.col("scan0_them").cast("long").alias("scan")
         )
     reached = _khop_closed(us, k, mode)
-    if mode == "all" or not them.directed:
-        edges = (
-            them.symmetrized()
-            .select(F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-    else:
-        edges = (
-            them.adjacency(mode)
-            .select(F.col("src").alias("a"), F.col("dst").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
-    pa = reached.select("v", F.col("u").alias("a"))
-    pb = reached.select("v", F.col("u").alias("b"))
-    counts = (
-        edges.join(pa, "a")
-        .join(pb, ["v", "b"])
-        .groupBy("v")
-        .agg(F.count("*").alias("scan"))
-    )
-    verts = us.vertices()
-    return verts.join(counts, verts.id == counts.v, "left").select(
-        "id", F.coalesce("scan", F.lit(0)).alias("scan")
-    )
+    return _count_arcs_within(us, reached, them.edges.select("src", "dst"))

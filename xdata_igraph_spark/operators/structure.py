@@ -226,10 +226,11 @@ def _triad_class():
         .when((m == 2) & (a == 0), F.lit(10))                      # 201
         .when(
             (m == 1) & (a == 2),
-            # both asym arcs leave the third vertex → 120D; both enter
-            # it → 120U; one each → 120C
-            F.when(third_out == 0, F.lit(11))
-            .when(third_in == 0, F.lit(12))
+            # 120D = A<-B->C plus A<->C: both asym arcs LEAVE the third
+            # vertex (its asym in-degree is 0); 120U = both ENTER it
+            # (asym out-degree 0); one each → 120C
+            F.when(third_in == 0, F.lit(11))
+            .when(third_out == 0, F.lit(12))
             .otherwise(F.lit(13)),
         )
         .when((m == 2) & (a == 1), F.lit(14))                      # 210

@@ -456,8 +456,12 @@ def kautz(spark: SparkSession, m: int, n: int) -> LinkGraph:
 
     base = m + 1
     allstrings = base ** (n + 1)
+    if allstrings > 2**62:
+        raise ValueError("kautz string space exceeds 63-bit ids")
     digit = [
-        (F.col("value") / F.lit(base ** (n - i))).cast("long") % base
+        # integer `div` keeps digit extraction exact for any base —
+        # float division would round once base**(n+1) nears 2^53
+        F.expr(f"value div {base ** (n - i)}") % base
         for i in range(n + 1)
     ]  # digit[0] = most significant
     valid = None
