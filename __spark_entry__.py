@@ -580,6 +580,29 @@ def _q_edge_betweenness(spark, sf_dir):
     )
 
 
+def _q_all_geodesics(spark, sf_dir):
+    # igraph_get_all_shortest_paths' nrgeo: number of geodesics per
+    # reachable target from the min-id vertex of the sparse graph
+    from xdata_igraph_spark.operators.paths import get_all_shortest_paths
+
+    g = _dense_graph(spark, sf_dir)
+    src0 = g.vertices().agg(F.min("id")).first()[0]
+    return (
+        get_all_shortest_paths(g, int(src0), mode="out")
+        .groupBy("target")
+        .agg(F.count("*").alias("nrgeo"), F.max("dist").alias("dist"))
+    )
+
+
+def _q_constraint(spark, sf_dir):
+    from xdata_igraph_spark.operators.centrality import constraint
+
+    g = _dense_graph(spark, sf_dir)
+    return constraint(g, weighted=True).select(
+        "id", F.round("constraint", 9).alias("constraint_score")
+    )
+
+
 def _q_louvain(spark, sf_dir):
     # no SQL oracle: iterative modularity optimization is not
     # SQL-expressible; the driver records the rows-only check and
@@ -654,6 +677,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_k2": _q_scan_k2,
         "scan_k2_them": _q_scan_k2_them,
         "betweenness": _q_betweenness,
+        "constraint": _q_constraint,
+        "all_geodesics": _q_all_geodesics,
         "transitivity_barrat": _q_barrat,
         "simhash_near_pairs": _q_simhash_near,
         "subgraph_edges_degrees": _q_subgraph_edges,
@@ -1129,6 +1154,57 @@ FROM sverts sv LEFT JOIN cnt ON cnt.v = sv.id"""
 
     # betweenness: dense graph has BFS depth 3 (measured) → 4 layers
     # of Brandes forward sigma + 3 backward dependency steps, unrolled
+    # geodesic counts: each recursive row is one geodesic prefix over
+    # the BFS DAG; rows grouped by endpoint = nrgeo
+    sql["all_geodesics"] = f"""WITH RECURSIVE {DENSE_EDGES_SQL},
+root AS (SELECT min(id) AS id FROM verts),
+bfs AS (
+  SELECT id, 0 AS dist FROM root
+  UNION
+  SELECT e.dst AS id, bfs.dist + 1 AS dist
+  FROM bfs JOIN edges e ON e.src = bfs.id
+  WHERE bfs.dist < 60
+),
+d AS (SELECT id, min(dist) AS dist FROM bfs GROUP BY id),
+dag AS (
+  SELECT e.src, e.dst
+  FROM edges e
+  JOIN d ds ON ds.id = e.src
+  JOIN d dd ON dd.id = e.dst AND dd.dist = ds.dist + 1),
+walk AS (
+  SELECT id FROM root
+  UNION ALL
+  SELECT dag.dst AS id FROM walk JOIN dag ON dag.src = walk.id
+)
+SELECT w.id AS target, CAST(count(*) AS BIGINT) AS nrgeo,
+       CAST(d.dist AS DOUBLE) AS dist
+FROM walk w JOIN d ON d.id = w.id
+GROUP BY w.id, d.dist"""
+
+    # Burt constraint: tie strengths a[i,j]+a[j,i], ALL-degree
+    # denominator, indirect term over shared middles (reference
+    # /root/reference/src/structural_properties.c:2418-2700)
+    sql["constraint"] = f"""WITH {DENSE_EDGES_SQL},
+ab AS (
+  SELECT src, dst, sum(w) AS a FROM (
+    SELECT src, dst, weight AS w FROM edges
+    UNION ALL SELECT dst, src, weight FROM edges
+  ) GROUP BY src, dst),
+s AS (SELECT src, sum(a) AS s FROM ab GROUP BY src),
+p AS (SELECT ab.src AS i, ab.dst AS j, ab.a / s.s AS p
+      FROM ab JOIN s ON s.src = ab.src),
+ind AS (
+  SELECT a.i, b.j, sum(a.p * b.p) AS ind
+  FROM p a JOIN p b ON a.j = b.i
+  WHERE a.j <> b.j
+  GROUP BY a.i, b.j),
+c AS (
+  SELECT p.i, sum((p.p + coalesce(ind.ind, 0)) ^ 2) AS c
+  FROM p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
+  GROUP BY p.i)
+SELECT v.id, round(c.c, 9) AS constraint_score
+FROM verts v JOIN c ON c.i = v.id"""
+
     sql["betweenness"] = f"""WITH RECURSIVE {DENSE_EDGES_SQL},
 arcs AS (SELECT DISTINCT src, dst FROM edges),
 br(s, v, dist) AS (

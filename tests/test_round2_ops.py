@@ -653,3 +653,217 @@ def test_spectral_embedding_bipartite_pm_pairs(spark):
     for j, lam in enumerate(lambdas):
         resid = A @ got[:, j] - lam * got[:, j]
         assert float(np.abs(resid).max()) < 1e-5, (j, lam, resid)
+
+
+# ------------------------------------------------------------ constraint
+
+
+def _constraint_brute(n, arcs, weights, directed):
+    """Burt constraint straight from the formula (reference semantics:
+    a[i,j]+a[j,i] tie strengths, ALL-degree denominator, NaN isolates)."""
+    import numpy as np
+
+    A = np.zeros((n, n))
+    for (a, b), w in zip(arcs, weights):
+        if a == b:
+            continue
+        A[a, b] += w
+        if not directed:
+            A[b, a] += w
+    ab = A + A.T if directed else A
+    s = ab.sum(axis=1)
+    out = []
+    for i in range(n):
+        if s[i] == 0:
+            out.append(float("nan"))
+            continue
+        p = ab[i] / s[i]
+        c = 0.0
+        for j in range(n):
+            if ab[i, j] == 0 or j == i:
+                continue
+            ind = sum(
+                p[q] * (ab[q, j] / s[q])
+                for q in range(n)
+                if q != i and q != j and s[q] > 0
+            )
+            c += (p[j] + ind) ** 2
+        out.append(c)
+    return out
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_constraint_random(spark, directed):
+    import math
+
+    from xdata_igraph_spark.operators.centrality import constraint
+
+    n = 12
+    arcs = _random_arcs(n, 0.25, seed=13, directed=directed)
+    weights = [1.0 + (h % 5) for h, _ in enumerate(arcs)]
+    rows = [(a, b, w) for (a, b), w in zip(arcs, weights)]
+    g = LinkGraph(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        directed=directed, n=n,
+    )
+    got = {r["id"]: r["constraint"] for r in constraint(g, weighted=True).collect()}
+    ref = _constraint_brute(n, arcs, weights, directed)
+    for i in range(n):
+        if math.isnan(ref[i]):
+            assert math.isnan(got[i]), i
+        else:
+            assert got[i] == pytest.approx(ref[i], abs=1e-9), i
+
+
+def test_constraint_star_known_values(spark):
+    from xdata_igraph_spark.operators.centrality import constraint
+    from xdata_igraph_spark.sources.generators import star
+
+    g = star(spark, 5, mode="undirected")
+    got = {r["id"]: r["constraint"] for r in constraint(g).collect()}
+    assert got[0] == pytest.approx(0.25)       # center: 1/(n-1)
+    for leaf in range(1, 5):
+        assert got[leaf] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------------ unfold_tree
+
+
+def test_unfold_tree_ring(spark):
+    from xdata_igraph_spark.operators.paths import unfold_tree
+    from xdata_igraph_spark.sources.generators import ring
+
+    g = ring(spark, 4, directed=False)  # C4
+    edges, vidx = unfold_tree(g, [0], mode="all")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # tree: (0,1), (1,2), (3,0); the 2-3 edge re-reaches 2 → copy 4
+    assert got == {(0, 1), (1, 2), (3, 0), (4, 3)}
+    idx = {r["new_id"]: r["orig_id"] for r in vidx.collect()}
+    assert idx == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+
+
+def test_unfold_tree_directed_diamond(spark):
+    from xdata_igraph_spark.operators.paths import unfold_tree
+
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3)], directed=True, n=4
+    )
+    edges, vidx = unfold_tree(g, [0], mode="out")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(0, 1), (0, 2), (1, 3), (2, 4)}
+    idx = {r["new_id"]: r["orig_id"] for r in vidx.collect()}
+    assert idx[4] == 3
+
+
+def test_unfold_tree_forest(spark):
+    from xdata_igraph_spark.operators.paths import unfold_tree
+
+    g = LinkGraph.from_pairs(spark, [(0, 1), (2, 3)], directed=False, n=4)
+    edges, vidx = unfold_tree(g, [0, 2], mode="all")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(0, 1), (2, 3)}
+    assert vidx.count() == 4  # identity only, no copies
+
+
+# ------------------------------------------------------- all shortest paths
+
+
+def test_get_all_shortest_paths_diamond(spark):
+    from xdata_igraph_spark.operators.paths import get_all_shortest_paths
+
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], directed=True
+    )
+    rows = get_all_shortest_paths(g, 0).collect()
+    by_target = defaultdict(set)
+    for r in rows:
+        by_target[r["target"]].add(tuple(r["path"]))
+    assert by_target[3] == {(0, 1, 3), (0, 2, 3)}
+    assert by_target[4] == {(0, 1, 3, 4), (0, 2, 3, 4)}
+    assert by_target[0] == {(0,)}
+
+
+def test_get_all_shortest_paths_vs_bruteforce(spark):
+    from xdata_igraph_spark.operators.paths import get_all_shortest_paths
+
+    n = 10
+    arcs = _random_arcs(n, 0.3, seed=17, directed=True)
+    adj = defaultdict(list)
+    for a, b in arcs:
+        adj[a].append(b)
+
+    # brute-force: BFS distances then DFS over the geodesic DAG
+    dist = {0: 0}
+    q = deque([0])
+    while q:
+        v = q.popleft()
+        for w in adj[v]:
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+
+    ref = defaultdict(set)
+
+    def expand(path):
+        h = path[-1]
+        ref[h].add(tuple(path))
+        for w in adj[h]:
+            if dist.get(w) == dist[h] + 1:
+                expand(path + [w])
+
+    expand([0])
+    got = defaultdict(set)
+    for r in get_all_shortest_paths(g := LinkGraph.from_pairs(
+        spark, arcs, directed=True, n=n
+    ), 0).collect():
+        got[r["target"]].add(tuple(r["path"]))
+    # ref includes every prefix; keep only per-target full sets
+    want = {t: {p for p in ps if p[-1] == t} for t, ps in ref.items()}
+    assert dict(got) == {t: s for t, s in want.items() if s}
+
+
+# --------------------------------------------------------- adjacency ctor
+
+
+def test_from_adjacency_modes(spark):
+    from xdata_igraph_spark.sources.generators import from_adjacency
+
+    M = [
+        [0, 2, 0],
+        [1, 0, 1],
+        [0, 0, 0],
+    ]
+    g = from_adjacency(spark, M, mode="directed")
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == [(0, 1), (0, 1), (1, 0), (1, 2)]
+    g = from_adjacency(spark, M, mode="max")
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == [(0, 1), (0, 1), (1, 2)]
+    g = from_adjacency(spark, M, mode="min")
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == [(0, 1)]
+    g = from_adjacency(spark, M, mode="plus")
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == [(0, 1)] * 3 + [(1, 2)]
+    g = from_adjacency(spark, M, mode="upper")
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == [(0, 1), (0, 1), (1, 2)]
+    g = from_adjacency(spark, M, mode="lower")
+    got = sorted((r["src"], r["dst"]) for r in g.edges.collect())
+    assert got == [(0, 1)]
+
+
+def test_from_weighted_adjacency_roundtrip(spark):
+    from xdata_igraph_spark.sources.generators import from_weighted_adjacency
+
+    M = [
+        [0.0, 1.5, 0.0],
+        [0.5, 0.0, 2.0],
+        [0.0, 0.0, 3.0],
+    ]
+    g = from_weighted_adjacency(spark, M, mode="directed")
+    got = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert got == {(0, 1): 1.5, (1, 0): 0.5, (1, 2): 2.0, (2, 2): 3.0}
+    adj = g.get_adjacency()
+    cells = {(r[0], r[1]): r[2] for r in adj.collect()}
+    assert cells[(0, 1)] == 1.5 or cells[(0, 1)] == 1  # sparse count or weight

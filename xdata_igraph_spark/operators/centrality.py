@@ -398,3 +398,59 @@ def centralization_degree(graph: LinkGraph, mode: str = "all",
     else:
         tmax = (n - 1) * (n - 2 + (2 if loops else 0))
     return centralization(deg, float(tmax), "degree")
+
+
+def constraint(graph: LinkGraph, weighted: bool = False) -> DataFrame:
+    """Burt's constraint (structural holes) → (id, constraint)
+    (igraph_constraint, /root/reference/src/structural_properties.c:
+    2418-2700).
+
+    Reference semantics: with tie strength ā[i,j] = Σ weights of all
+    arcs between i and j in either direction (loops excluded; an
+    unweighted reciprocal pair counts 2), s[i] = Σ_j ā[i,j] and
+    proportional strength p[i,j] = ā[i,j]/s[i],
+
+        C[i] = Σ_{j ∈ N(i)} ( p[i,j] + Σ_{q ≠ i,j} p[i,q]·p[q,j] )²
+
+    Isolated vertices return NaN (src/structural_properties.c:2520-2524).
+
+    Relational plan: the p table is one symmetrize + groupBy of the
+    edge list (|E| rows); the indirect term is one self-join of p on
+    the shared middle vertex (wedge-sized, the triangle-counting cost
+    class — hub skew handled by AQE skew-join; at crawl scale cap or
+    salt hub middles exactly like triangles); one final groupBy-sum.
+    All JVM column arithmetic, no UDFs.
+    """
+    e = graph.edges.select("src", "dst", "weight") if weighted else (
+        graph.edges.select("src", "dst", F.lit(1.0).alias("weight"))
+    )
+    e = e.filter(F.col("src") != F.col("dst"))
+    ab = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("a"))
+    )
+    s = ab.groupBy("src").agg(F.sum("a").alias("s"))
+    p = ab.join(s, "src").select(
+        F.col("src").alias("i"), F.col("dst").alias("j"), (F.col("a") / F.col("s")).alias("p")
+    ).localCheckpoint(eager=True)
+
+    # indirect: ind(i, j) = Σ_q p(i, q) · p(q, j), q ≠ j (q ≠ i is free:
+    # p(i, q) rows imply q ∈ N(i), i ∉ N(i) after the loop filter)
+    pq = p.select(F.col("i"), F.col("j").alias("q"), F.col("p").alias("p_iq"))
+    qj = p.select(F.col("i").alias("q"), F.col("j"), F.col("p").alias("p_qj"))
+    ind = (
+        pq.join(qj, "q")
+        .filter(F.col("q") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p_iq") * F.col("p_qj")).alias("ind"))
+    )
+    per_pair = p.join(ind, ["i", "j"], "left").select(
+        "i",
+        F.pow(F.col("p") + F.coalesce(F.col("ind"), F.lit(0.0)), F.lit(2.0)).alias("c2"),
+    )
+    cons = per_pair.groupBy("i").agg(F.sum("c2").alias("constraint"))
+    verts = graph.vertices()
+    return verts.join(cons, verts.id == cons.i, "left").select(
+        "id", F.coalesce("constraint", F.lit(float("nan"))).alias("constraint")
+    )

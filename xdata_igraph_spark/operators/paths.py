@@ -549,3 +549,204 @@ def dfs(graph: LinkGraph, root: int, mode: str = "out",
     return graph.spark.createDataFrame(
         rows, "id long, order long, parent long, dist long"
     )
+
+
+def unfold_tree(
+    graph: LinkGraph,
+    roots: list[int],
+    mode: str = "out",
+) -> tuple[DataFrame, DataFrame]:
+    """Unfold a graph into a tree/forest by replicating re-reached
+    vertices (igraph_unfold_tree, /root/reference/src/
+    structural_properties.c:5456-5584): BFS from ``roots``; the first
+    arc reaching a vertex stays a tree edge, every further arc replaces
+    its already-seen endpoint with a fresh copy (ids n, n+1, …).
+
+    Returns ``(tree_edges, vertex_index)``: tree edges keep the
+    original arc orientation with the re-reached endpoint swapped for
+    its copy; ``vertex_index`` maps every output vertex to the original
+    (identity for 0..n-1 — the reference pre-fills identity the same
+    way — plus one row per copy).
+
+    Deviations (documented): copy ids are minted in the deterministic
+    order (root-rank, source dist, source id, arc) rather than the
+    reference's queue-emission order (same tree shape, relabeled
+    copies); parallel arcs are collapsed (simple-graph fixtures);
+    overlapping root regions follow plain multi-source BFS (the
+    reference's own TODO at :5497 leaves multi-root semantics open).
+    Unreached arcs are dropped rather than emitted as (0,0) rows.
+
+    Scale shape: one BFS (superstep loop) + two joins + one dense-id
+    minting pass — all edge-partitioned, no driver-side traversal.
+    """
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+    spark = graph.spark
+    n = graph.vcount()
+    root_rows = [(int(r), i) for i, r in enumerate(roots)]
+    roots_df = spark.createDataFrame(root_rows, "source long, rootrank int")
+
+    st = shortest_paths_with_parents(graph, [r for r, _ in root_rows], mode=mode)
+    # claim each vertex for its best (rootrank, dist) root — matches the
+    # reference exactly when roots claim disjoint regions
+    claimed = (
+        st.join(roots_df, "source")
+        .groupBy("id")
+        .agg(
+            F.min(F.struct("rootrank", "dist", "parent")).alias("c")
+        )
+        .select(
+            "id",
+            F.col("c.rootrank").alias("rootrank"),
+            F.col("c.dist").alias("dist"),
+            F.col("c.parent").alias("parent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    use_all = mode == "all" or not graph.directed
+    if mode == "in" and graph.directed:
+        arcs = graph.edges.select(F.col("dst").alias("f"), F.col("src").alias("t"))
+    else:
+        arcs = graph.edges.select(F.col("src").alias("f"), F.col("dst").alias("t"))
+    arcs = arcs.filter(F.col("f") != F.col("t")).distinct()
+
+    fm = claimed.select(
+        F.col("id").alias("f"), F.col("rootrank").alias("rk_f"),
+        F.col("dist").alias("d_f"),
+    )
+    tm = claimed.select(
+        F.col("id").alias("t"), F.col("rootrank").alias("rk_t"),
+        F.col("dist").alias("d_t"), F.col("parent").alias("p_t"),
+    )
+    e = arcs.join(fm, "f").join(tm, "t")  # drops arcs with unreached ends
+    if use_all:
+        # traversal source = endpoint dequeued first: min (rootrank, dist, id)
+        f_first = F.struct("rk_f", "d_f", "f") < F.struct("rk_t", "d_t", "t")
+        pm = claimed.select(F.col("id").alias("f"), F.col("parent").alias("p_f"))
+        e = e.join(pm, "f")
+        src_v = F.when(f_first, F.col("f")).otherwise(F.col("t"))
+        nei_v = F.when(f_first, F.col("t")).otherwise(F.col("f"))
+        nei_par = F.when(f_first, F.col("p_t")).otherwise(F.col("p_f"))
+    else:
+        src_v, nei_v, nei_par = F.col("f"), F.col("t"), F.col("p_t")
+    e = e.select(
+        "f", "t",
+        src_v.alias("a"), nei_v.alias("b"), (nei_par == src_v).alias("is_par"),
+    )
+    # one tree arc per reached non-root vertex: its parent arc; when both
+    # orientations exist (reciprocal pair) prefer the (parent → child) one
+    ranked = e.filter(F.col("is_par")).withColumn(
+        "_pref", (F.col("f") == F.col("a")).cast("int")
+    )
+    tree = (
+        ranked.groupBy("a", "b")
+        .agg(F.max(F.struct("_pref", "f", "t")).alias("w"))
+        .select(F.col("w.f").alias("f"), F.col("w.t").alias("t"))
+    )
+    nontree = e.join(tree, ["f", "t"], "left_anti")
+
+    am = claimed.select(
+        F.col("id").alias("a"), F.col("rootrank").alias("rk_a"),
+        F.col("dist").alias("d_a"),
+    )
+    copies = zip_dense_ids(
+        nontree.join(am, "a").select("f", "t", "b", "rk_a", "d_a", "a"),
+        ["rk_a", "d_a", "a", "f", "t"],
+        out_col="copy",
+        start=n,
+    )
+    copy_edges = copies.select(
+        F.when(F.col("f") == F.col("b"), F.col("copy")).otherwise(F.col("f")).alias("src"),
+        F.when(F.col("f") == F.col("b"), F.col("t")).otherwise(F.col("copy")).alias("dst"),
+    )
+    tree_edges = tree.select(
+        F.col("f").alias("src"), F.col("t").alias("dst")
+    ).unionByName(copy_edges)
+
+    vertex_index = (
+        graph.vertices().select(F.col("id").alias("new_id"), F.col("id").alias("orig_id"))
+        .unionByName(
+            copies.select(F.col("copy").alias("new_id"), F.col("b").alias("orig_id"))
+        )
+    )
+    return tree_edges, vertex_index
+
+
+def get_all_shortest_paths(
+    graph: LinkGraph,
+    source: int,
+    to: list[int] | DataFrame | None = None,
+    mode: str = "out",
+    max_iter: int = 200,
+    max_paths: int = 10_000_000,
+) -> DataFrame:
+    """EVERY geodesic from ``source`` → (source, target, dist,
+    path: array<long>) — one row per shortest path
+    (igraph_get_all_shortest_paths, /root/reference/src/
+    structural_properties.c:924-1100: BFS + full predecessor lists;
+    the reference's ``nrgeo`` counts are the per-target row counts
+    here).
+
+    Plan: one unweighted multi-layer BFS for distances (superstep
+    loop), then a backtrack expansion over the geodesic DAG — each
+    round one join extends every open path by all of its head's
+    predecessors, so the work is proportional to the number of
+    geodesic prefixes (the output size; ``max_paths`` guards the
+    combinatorial blowup, the same practical bound the in-memory
+    reference hits as OOM).
+    """
+    dist = shortest_paths(graph, [int(source)], mode=mode, max_iter=max_iter)
+    dist = dist.filter(~F.col("dist").isNull()).select(
+        "id", F.col("dist").cast("long").alias("dist")
+    ).localCheckpoint(eager=True)
+
+    edges = _edges_for_mode(graph, mode).select("src", "dst").distinct()
+    dsrc = dist.select(F.col("id").alias("src"), F.col("dist").alias("d_src"))
+    ddst = dist.select(F.col("id").alias("dst"), F.col("dist").alias("d_dst"))
+    # geodesic-DAG arcs reversed for the backtrack: child ← parent
+    dag = (
+        edges.join(dsrc, "src").join(ddst, "dst")
+        .filter(F.col("d_dst") == F.col("d_src") + 1)
+        .select(F.col("dst").alias("head"), F.col("src").alias("parent"))
+        .localCheckpoint(eager=True)
+    )
+
+    targets = dist
+    if to is not None:
+        if isinstance(to, DataFrame):
+            tdf = to.select(F.col(to.columns[0]).alias("id"))
+        else:
+            tdf = graph.spark.createDataFrame([(int(t),) for t in to], "id long")
+        targets = targets.join(tdf, "id", "left_semi")
+    state = targets.select(
+        F.col("id").alias("target"),
+        "dist",
+        F.col("id").alias("head"),
+        F.array(F.col("id")).alias("path"),
+    ).localCheckpoint(eager=True)
+    done = state.filter(F.col("head") == source)
+    for _it in range(max_iter):
+        active = state.filter(F.col("head") != source)
+        if active.isEmpty():
+            break
+        ext = (
+            active.join(dag, "head")
+            .select(
+                "target",
+                "dist",
+                F.col("parent").alias("head"),
+                F.concat(F.array(F.col("parent")), F.col("path")).alias("path"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_open = ext.count()
+        if n_open > max_paths:
+            raise ValueError(
+                f"geodesic expansion exceeded max_paths={max_paths}"
+            )
+        done = done.unionByName(ext.filter(F.col("head") == source))
+        state = ext
+    return done.select(
+        F.lit(int(source)).alias("source"), "target", "dist", "path"
+    )

@@ -43,6 +43,8 @@ __all__ = [
     "barabasi",
     "watts_strogatz",
     "degree_sequence_game",
+    "from_adjacency",
+    "from_weighted_adjacency",
 ]
 
 
@@ -639,3 +641,128 @@ _FAMOUS.update(
         ),
     }
 )
+
+
+def from_adjacency(
+    spark: SparkSession,
+    matrix: list[list[int]],
+    mode: str = "directed",
+) -> LinkGraph:
+    """Graph from a dense adjacency matrix (igraph_adjacency,
+    /root/reference/src/structure_generators.c:206-430): entry (i, j)
+    = number of i→j edges. Modes: ``directed``, ``max``/``undirected``
+    (max of the two triangles), ``min``, ``plus``, ``upper``,
+    ``lower``. Multiplicities are preserved (value c mints c parallel
+    edges, like the reference).
+
+    The matrix arrives as a driver literal (the reference takes an
+    in-memory igraph_matrix_t the same way) and is melted relationally
+    via posexplode — at scale an adjacency should arrive as an edge
+    table instead (this constructor is the small-matrix on-ramp).
+    """
+    n = len(matrix)
+    for row in matrix:
+        if len(row) != n:
+            raise ValueError("non-square matrix in from_adjacency")
+    mdf = spark.createDataFrame(
+        [(i, [int(x) for x in row]) for i, row in enumerate(matrix)],
+        "i long, row array<int>",
+    )
+    cells = mdf.select(
+        "i", F.posexplode("row").alias("j", "c")
+    ).filter(F.col("c") != 0)
+    if mode == "directed":
+        pairs = cells.select("i", "j", "c")
+        directed = True
+    elif mode in ("max", "undirected", "min", "plus"):
+        directed = False
+        a = cells.select(
+            F.least("i", "j").alias("i"), F.greatest("i", "j").alias("j"),
+            F.when(F.col("i") <= F.col("j"), F.col("c")).otherwise(F.lit(0)).alias("up"),
+            F.when(F.col("i") > F.col("j"), F.col("c")).otherwise(F.lit(0)).alias("lo"),
+            (F.col("i") == F.col("j")).alias("diag"),
+        )
+        comb = a.groupBy("i", "j").agg(
+            F.sum("up").alias("up"), F.sum("lo").alias("lo"), F.max("diag").alias("diag")
+        )
+        expr = {
+            "max": F.greatest("up", "lo"),
+            "undirected": F.greatest("up", "lo"),
+            "min": F.least("up", "lo"),
+            "plus": F.col("up") + F.col("lo"),
+        }[mode]
+        # diagonal entries live in one triangle only: use their raw value
+        pairs = comb.select(
+            "i", "j", F.when(F.col("diag"), F.col("up") + F.col("lo")).otherwise(expr).alias("c")
+        ).filter(F.col("c") != 0)
+    elif mode in ("upper", "lower"):
+        directed = False
+        keep = (F.col("i") <= F.col("j")) if mode == "upper" else (F.col("i") >= F.col("j"))
+        pairs = cells.filter(keep).select(
+            F.least("i", "j").alias("i"), F.greatest("i", "j").alias("j"), "c"
+        )
+    else:
+        raise ValueError(f"bad adjacency mode {mode!r}")
+    edges = pairs.select(
+        F.col("i").alias("src"),
+        F.col("j").alias("dst"),
+        F.explode(F.sequence(F.lit(1), F.col("c"))).alias("_k"),
+    ).select("src", "dst")
+    return _graph(edges, directed=directed, n=n)
+
+
+def from_weighted_adjacency(
+    spark: SparkSession,
+    matrix: list[list[float]],
+    mode: str = "directed",
+) -> LinkGraph:
+    """Weighted graph from a dense matrix (igraph_weighted_adjacency,
+    /root/reference/src/structure_generators.c:431-600): entry (i, j)
+    becomes ONE edge of weight A[i,j] (zero = absent). Same modes as
+    :func:`from_adjacency`."""
+    n = len(matrix)
+    for row in matrix:
+        if len(row) != n:
+            raise ValueError("non-square matrix in from_weighted_adjacency")
+    mdf = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(matrix)],
+        "i long, row array<double>",
+    )
+    cells = mdf.select(
+        "i", F.posexplode("row").alias("j", "w")
+    ).filter(F.col("w") != 0)
+    if mode == "directed":
+        pairs = cells.select("i", "j", "w")
+        directed = True
+    elif mode in ("max", "undirected", "min", "plus"):
+        directed = False
+        a = cells.select(
+            F.least("i", "j").alias("i"), F.greatest("i", "j").alias("j"),
+            F.when(F.col("i") <= F.col("j"), F.col("w")).otherwise(F.lit(0.0)).alias("up"),
+            F.when(F.col("i") > F.col("j"), F.col("w")).otherwise(F.lit(0.0)).alias("lo"),
+            (F.col("i") == F.col("j")).alias("diag"),
+        )
+        comb = a.groupBy("i", "j").agg(
+            F.sum("up").alias("up"), F.sum("lo").alias("lo"), F.max("diag").alias("diag")
+        )
+        expr = {
+            "max": F.greatest("up", "lo"),
+            "undirected": F.greatest("up", "lo"),
+            "min": F.least("up", "lo"),
+            "plus": F.col("up") + F.col("lo"),
+        }[mode]
+        pairs = comb.select(
+            "i", "j", F.when(F.col("diag"), F.col("up") + F.col("lo")).otherwise(expr).alias("w")
+        ).filter(F.col("w") != 0)
+    elif mode in ("upper", "lower"):
+        directed = False
+        keep = (F.col("i") <= F.col("j")) if mode == "upper" else (F.col("i") >= F.col("j"))
+        pairs = cells.filter(keep).select(
+            F.least("i", "j").alias("i"), F.greatest("i", "j").alias("j"), "w"
+        )
+    else:
+        raise ValueError(f"bad adjacency mode {mode!r}")
+    edges = pairs.select(
+        F.col("i").alias("src"), F.col("j").alias("dst"), F.col("w").alias("weight")
+    )
+    return LinkGraph(edges, directed=directed, n=n)
