@@ -594,6 +594,33 @@ def _q_all_geodesics(spark, sf_dir):
     )
 
 
+def _q_cliques4(spark, sf_dir):
+    from xdata_igraph_spark.operators.cliques import cliques
+
+    g = _dense_graph(spark, sf_dir)
+    c = cliques(g, min_size=4, max_size=4)
+    return c.select(
+        F.col("members")[0].alias("a"),
+        F.col("members")[1].alias("b"),
+        F.col("members")[2].alias("c"),
+        F.col("members")[3].alias("d"),
+    )
+
+
+def _q_motifs3(spark, sf_dir):
+    # connected classes only (2 = path, 3 = triangle); the reference's
+    # NaN rows for disconnected classes are a fixed literal, excluded
+    # from the hash comparison
+    from xdata_igraph_spark.operators.triangles import motifs_randesu_3
+
+    g = _dense_graph(spark, sf_dir)
+    return (
+        motifs_randesu_3(g)
+        .filter(F.col("isoclass") >= 2)
+        .select("isoclass", F.col("count").cast("long").alias("count"))
+    )
+
+
 def _q_constraint(spark, sf_dir):
     from xdata_igraph_spark.operators.centrality import constraint
 
@@ -679,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "betweenness": _q_betweenness,
         "constraint": _q_constraint,
         "all_geodesics": _q_all_geodesics,
+        "motifs3": _q_motifs3,
+        "cliques4": _q_cliques4,
         "transitivity_barrat": _q_barrat,
         "simhash_near_pairs": _q_simhash_near,
         "subgraph_edges_degrees": _q_subgraph_edges,
@@ -1154,6 +1183,30 @@ FROM sverts sv LEFT JOIN cnt ON cnt.v = sv.id"""
 
     # betweenness: dense graph has BFS depth 3 (measured) → 4 layers
     # of Brandes forward sigma + 3 backward dependency steps, unrolled
+    # 4-cliques: six-way self-join over the canonical undirected pairs
+    sql["cliques4"] = f"""WITH {DENSE_EDGES_SQL},
+und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges)
+SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c, e3.hi AS d
+FROM und e1
+JOIN und e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+JOIN und e3 ON e3.lo = e1.lo AND e3.hi > e2.hi
+JOIN und e4 ON e4.lo = e1.hi AND e4.hi = e2.hi
+JOIN und e5 ON e5.lo = e1.hi AND e5.hi = e3.hi
+JOIN und e6 ON e6.lo = e2.hi AND e6.hi = e3.hi"""
+
+    # motifs size-3: wedges − 3·triangles = path class, closed form
+    sql["motifs3"] = f"""WITH {DENSE_EDGES_SQL},{_TRI_CORE_SQL},
+deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
+  ) GROUP BY id),
+w AS (SELECT coalesce(sum(d * (d - 1) / 2), 0) AS wedges FROM deg),
+t AS (SELECT count(*) AS tris FROM tri)
+SELECT 2 AS isoclass, CAST(w.wedges - 3 * t.tris AS BIGINT) AS count
+FROM w, t
+UNION ALL
+SELECT 3, CAST(t.tris AS BIGINT) FROM t"""
+
     # geodesic counts: each recursive row is one geodesic prefix over
     # the BFS DAG; rows grouped by endpoint = nrgeo
     sql["all_geodesics"] = f"""WITH RECURSIVE {DENSE_EDGES_SQL},

@@ -867,3 +867,83 @@ def test_from_weighted_adjacency_roundtrip(spark):
     adj = g.get_adjacency()
     cells = {(r[0], r[1]): r[2] for r in adj.collect()}
     assert cells[(0, 1)] == 1.5 or cells[(0, 1)] == 1  # sparse count or weight
+
+
+# ------------------------------------------------------------ motifs
+
+
+def test_motifs3_bruteforce(spark):
+    from xdata_igraph_spark.operators.triangles import motifs_randesu_3
+
+    n = 11
+    arcs = _random_arcs(n, 0.3, seed=23, directed=False)
+    es = set(arcs)
+    paths = tris = 0
+    for tri in itertools.combinations(range(n), 3):
+        cnt = sum(
+            1 for a, b in itertools.combinations(tri, 2)
+            if (a, b) in es or (b, a) in es
+        )
+        if cnt == 2:
+            paths += 1
+        elif cnt == 3:
+            tris += 1
+    got = {r["isoclass"]: r["count"] for r in motifs_randesu_3(
+        LinkGraph.from_pairs(spark, arcs, directed=False, n=n)
+    ).collect()}
+    assert math.isnan(got[0]) and math.isnan(got[1])
+    assert got[2] == paths and got[3] == tris
+
+
+# ------------------------------------------------------------ cliques
+
+
+def _brute_cliques(n, edges):
+    es = {frozenset(e) for e in edges}
+    out = []
+    for k in range(1, n + 1):
+        found = False
+        for combo in itertools.combinations(range(n), k):
+            if all(frozenset(p) in es for p in itertools.combinations(combo, 2)):
+                out.append(tuple(combo))
+                found = True
+        if not found and k > 2:
+            break
+    return set(out)
+
+
+def test_cliques_bruteforce(spark):
+    from xdata_igraph_spark.operators.cliques import (
+        clique_number,
+        cliques,
+        maximal_cliques,
+    )
+
+    n = 11
+    arcs = _random_arcs(n, 0.4, seed=31, directed=False)
+    ref = _brute_cliques(n, arcs)
+    g = LinkGraph.from_pairs(spark, arcs, directed=False, n=n)
+    got = {tuple(r["members"]) for r in cliques(g, min_size=1).collect()}
+    assert got == ref
+    # maximal = cliques with no common neighbor of all members
+    adj = defaultdict(set)
+    for a, b in arcs:
+        adj[a].add(b)
+        adj[b].add(a)
+    ref_max = {
+        c for c in ref
+        if not any(all(m in adj[w] for m in c) for w in range(n) if w not in c)
+    }
+    got_max = {tuple(r["members"]) for r in maximal_cliques(g).collect()}
+    assert got_max == ref_max
+    assert clique_number(g) == max(len(c) for c in ref)
+
+
+def test_cliques_k4_fixture(spark):
+    from xdata_igraph_spark.operators.cliques import cliques
+    from xdata_igraph_spark.sources.generators import full
+
+    g = full(spark, 5, directed=False)  # K5
+    got = cliques(g, min_size=4, max_size=4).collect()
+    assert len(got) == 5  # C(5,4)
+    assert all(r["size"] == 4 for r in got)

@@ -219,3 +219,40 @@ def transitivity_barrat(graph: LinkGraph, mode: str = "nan") -> DataFrame:
             .alias("barrat"),
         )
     )
+
+
+def motifs_randesu_3(graph: LinkGraph) -> DataFrame:
+    """Undirected size-3 motif counts → (isoclass, count: double)
+    (igraph_motifs_randesu with size=3 and cut_prob=0 — full
+    enumeration; /root/reference/src/motifs.c:63-160). igraph's
+    undirected 3-vertex isoclass order: 0 = empty, 1 = one edge
+    (both disconnected → NaN, like the reference), 2 = path,
+    3 = triangle.
+
+    Closed form over existing aggregates — no triple enumeration:
+    connected 2-edge triples = Σ_v C(deg_v, 2) − 3·triangles (each
+    triangle holds three wedges), so the plan is one degree aggregate
+    plus the standard oriented triangle count.
+    """
+    simple = _simple_undirected(graph)
+    deg = (
+        simple.select(F.col("a").alias("id"))
+        .union(simple.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges_row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+    ).first()
+    wedges = int(wedges_row["w"] or 0)
+    tri = count_triangles(graph)
+    spark = graph.spark
+    return spark.createDataFrame(
+        [
+            (0, float("nan")),
+            (1, float("nan")),
+            (2, float(wedges - 3 * tri)),
+            (3, float(tri)),
+        ],
+        "isoclass int, count double",
+    )
