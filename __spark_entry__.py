@@ -597,7 +597,19 @@ def _q_all_geodesics(spark, sf_dir):
 def _q_cliques4(spark, sf_dir):
     from xdata_igraph_spark.operators.cliques import cliques
 
-    g = _dense_graph(spark, sf_dir)
+    # mid-density derived graph (mod 2000): the mod-1000 dense graph
+    # has ~10x the wedge volume and makes 4-clique listing a minutes-
+    # scale query; this one holds a few hundred 4-cliques in seconds
+    li = _li(spark, sf_dir)
+    e = (
+        li.select(
+            (F.col("l_orderkey") % 2000).alias("src"),
+            (F.col("l_partkey") % 2000).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    g = LinkGraph(e, directed=True)
     c = cliques(g, min_size=4, max_size=4)
     return c.select(
         F.col("members")[0].alias("a"),
@@ -1184,7 +1196,10 @@ FROM sverts sv LEFT JOIN cnt ON cnt.v = sv.id"""
     # betweenness: dense graph has BFS depth 3 (measured) → 4 layers
     # of Brandes forward sigma + 3 backward dependency steps, unrolled
     # 4-cliques: six-way self-join over the canonical undirected pairs
-    sql["cliques4"] = f"""WITH {DENSE_EDGES_SQL},
+    sql["cliques4"] = f"""WITH
+edges AS (
+  SELECT DISTINCT l_orderkey % 2000 AS src, l_partkey % 2000 AS dst
+  FROM lineitem WHERE l_orderkey % 2000 <> l_partkey % 2000),
 und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges)
 SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c, e3.hi AS d
 FROM und e1

@@ -90,3 +90,48 @@ def test_stream_link_rate_windows(spark, tmp_path):
     assert joined.count() == got.count()
     assert joined.filter(F.col("n_links") != F.col("want")).isEmpty()
     assert got.count() > 0
+
+
+def test_stream_incremental_degree_stateful(spark, tmp_path):
+    """applyInPandasWithState running degree must equal the batch
+    degree after draining, and must accumulate across restarts."""
+    pages, pages_dir = _write_pages_in_chunks(spark, tmp_path, n=200)
+    from xdata_igraph_spark.streaming.ingest import stream_incremental_degree
+
+    edges_stream = hash_edges_from_pages(
+        spark.readStream.schema(
+            spark.read.parquet(pages_dir).schema
+        ).parquet(pages_dir)
+    )
+    out = str(tmp_path / "deg")
+    ckpt = str(tmp_path / "deg_ckpt")
+    stream_incremental_degree(edges_stream, ckpt, out).awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .groupBy("src")
+        .agg(F.max("degree").alias("degree"))
+    )
+    want = hash_edges_from_pages(pages).groupBy("src").agg(
+        F.count("*").alias("degree")
+    )
+    diff = got.exceptAll(want)
+    assert diff.isEmpty(), diff.limit(5).collect()
+
+    # new arrivals accumulate on top of the restored state
+    from xdata_igraph_spark.sources.corpus import synthetic_pages
+
+    extra = synthetic_pages(spark, 260).filter(F.col("page_id") >= 200)
+    extra.write.mode("append").parquet(pages_dir)
+    stream_incremental_degree(edges_stream, ckpt, out).awaitTermination(120)
+    got2 = (
+        spark.read.parquet(out).groupBy("src").agg(F.max("degree").alias("degree"))
+    )
+    # link targets depend on n_pages, so the expected degrees come from
+    # the union of the ACTUAL arrivals (pages(200) then extra-of-260)
+    want2 = (
+        hash_edges_from_pages(pages)
+        .unionByName(hash_edges_from_pages(extra))
+        .groupBy("src")
+        .agg(F.count("*").alias("degree"))
+    )
+    assert got2.exceptAll(want2).isEmpty()

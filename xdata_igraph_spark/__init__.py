@@ -19,6 +19,10 @@ Nothing is ported from the reference's C core; file:line citations in
 docstrings point at the *semantics* being matched.
 """
 
+from xdata_igraph_spark.plans.checkpointing import install as _install_flat_checkpoint
+
+_install_flat_checkpoint()
+
 from xdata_igraph_spark.graph import LinkGraph
 from xdata_igraph_spark.session import get_spark
 

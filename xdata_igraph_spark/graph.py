@@ -97,7 +97,7 @@ class LinkGraph:
         (/root/reference/src/type_indexededgelist.c:258-339). Call this
         when the edge table is derived from an expensive pipeline and
         will feed multiple operators/actions."""
-        e = self.edges.localCheckpoint(eager=True)
+        e = self.edges.localCheckpointFlat(eager=True)
         return LinkGraph(e, directed=self.directed, n=self._n, vertices=self._vertices)
 
     # ---------------- vertex / edge basics ----------------

@@ -51,7 +51,7 @@ def _prep_edges(graph: LinkGraph, weighted: bool, reverse: bool = False) -> Data
         )
     elif reverse:
         e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    return e.repartition("src").localCheckpoint(eager=True)
+    return e.repartition("src").localCheckpointFlat(eager=True)
 
 
 def _delta_from(S2: float, cross: float, n: int) -> tuple[float, float]:
@@ -77,9 +77,9 @@ def eigenvector_centrality(
         e.select("src", "dst", "weight")
         .union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
-    verts = graph.vertices().localCheckpoint(eager=True)
+    verts = graph.vertices().localCheckpointFlat(eager=True)
     n = graph.vcount()
     # state: raw iterate; scale = L2 norm of the current raw state
     state = verts.withColumn("x", F.lit(1.0))
@@ -132,7 +132,7 @@ def hits(
     fwd = _prep_edges(graph, weighted)                 # u→v: hub(u) feeds auth(v)
     rev = _prep_edges(graph, weighted, reverse=True)   # v→u: auth(v) feeds hub(u)
 
-    verts = graph.vertices().localCheckpoint(eager=True)
+    verts = graph.vertices().localCheckpointFlat(eager=True)
     n = graph.vcount()
     state = verts.withColumn("hub", F.lit(1.0)).withColumn("authority", F.lit(0.0))
     scale = math.sqrt(float(n)) or 1.0
@@ -219,7 +219,7 @@ def betweenness(
         e = e.union(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
-    e = e.repartition("src").localCheckpoint(eager=True)
+    e = e.repartition("src").localCheckpointFlat(eager=True)
 
     n = graph.vcount()
     if pivots is None:
@@ -238,9 +238,9 @@ def betweenness(
     # ---- forward: layered BFS with geodesic counts ----
     layer0 = src_df.select(
         "source", F.col("source").alias("id"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
     layers = [layer0]
-    reached = layer0.select("source", "id").localCheckpoint(eager=True)
+    reached = layer0.select("source", "id").localCheckpointFlat(eager=True)
     for _d in range(max_depth):
         frontier = layers[-1]
         nxt = (
@@ -250,12 +250,12 @@ def betweenness(
             .join(reached, ["source", "id"], "left_anti")
             .groupBy("source", "id")
             .agg(F.sum("sigma").alias("sigma"))
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
         )
         if nxt.isEmpty():
             break
         layers.append(nxt)
-        reached = reached.unionByName(nxt.select("source", "id")).localCheckpoint(
+        reached = reached.unionByName(nxt.select("source", "id")).localCheckpointFlat(
             eager=True
         )
 
@@ -292,12 +292,12 @@ def betweenness(
                     F.col("sigma_u") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta_w"))
                 ).alias("val"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
         )
         contrib = (
             rows.groupBy("source", F.col("src").alias("id"))
             .agg(F.sum("val").alias("delta"))
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
         )
         if _collect_edges:
             epart = rows.groupBy("src", "dst").agg(F.sum("val").alias("b"))
@@ -433,7 +433,7 @@ def constraint(graph: LinkGraph, weighted: bool = False) -> DataFrame:
     s = ab.groupBy("src").agg(F.sum("a").alias("s"))
     p = ab.join(s, "src").select(
         F.col("src").alias("i"), F.col("dst").alias("j"), (F.col("a") / F.col("s")).alias("p")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
 
     # indirect: ind(i, j) = Σ_q p(i, q) · p(q, j), q ≠ j (q ≠ i is free:
     # p(i, q) rows imply q ∈ N(i), i ∉ N(i) after the loop filter)

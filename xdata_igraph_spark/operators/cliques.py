@@ -53,7 +53,7 @@ def _oriented(graph: LinkGraph) -> DataFrame:
             F.when(lower, F.col("a")).otherwise(F.col("b")).alias("lo"),
             F.when(lower, F.col("b")).otherwise(F.col("a")).alias("hi"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
 
 
@@ -75,7 +75,7 @@ def cliques(
         out.append(singles)
     level = arcs.select(
         F.array("lo", "hi").alias("members"), F.col("hi").alias("last")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
     k = 2
     while True:
         if max_size and k > max_size:
@@ -105,7 +105,7 @@ def cliques(
         level = checked.select(
             F.concat("members", F.array("w")).alias("members"),
             F.col("w").alias("last"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpointFlat(eager=True)
         k += 1
     if not out:
         return spark.createDataFrame([], "members array<bigint>, size int")

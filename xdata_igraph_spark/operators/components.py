@@ -81,7 +81,7 @@ def wcc(
 
         sym = bucketize(sym, ["src"], name="wcc_sym")
     else:
-        sym = sym.repartition("src").localCheckpoint(eager=True)
+        sym = sym.repartition("src").localCheckpointFlat(eager=True)
 
     runner = runner or SuperstepRunner(
         spark,
@@ -199,9 +199,9 @@ def scc(
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
-    active_v = graph.vertices().localCheckpoint(eager=True)
+    active_v = graph.vertices().localCheckpointFlat(eager=True)
     assigned_parts: list[DataFrame] = []
 
     for _round in range(max_rounds):
@@ -212,7 +212,7 @@ def scc(
             trivial = active_v.join(srcs, "id", "left_anti").unionByName(
                 active_v.join(dsts, "id", "left_anti")
             ).distinct()
-            trivial = trivial.localCheckpoint(eager=True)
+            trivial = trivial.localCheckpointFlat(eager=True)
             n_triv = trivial.count()
             if n_triv == 0:
                 break
@@ -220,14 +220,14 @@ def scc(
             # carries an equality constraint that trips Catalyst's
             # Union.rewriteConstraints when the parts are unioned later
             assigned_parts.append(
-                trivial.select("id", F.col("id").alias("label")).localCheckpoint(True)
+                trivial.select("id", F.col("id").alias("label")).localCheckpointFlat(True)
             )
-            active_v = active_v.join(trivial, "id", "left_anti").localCheckpoint(True)
+            active_v = active_v.join(trivial, "id", "left_anti").localCheckpointFlat(True)
             active_e = (
                 active_e.join(trivial.withColumnRenamed("id", "src"), "src", "left_anti")
                 .join(trivial.withColumnRenamed("id", "dst"), "dst", "left_anti")
                 .select("src", "dst")
-                .localCheckpoint(True)
+                .localCheckpointFlat(True)
             )
         if active_v.count() == 0:
             break
@@ -245,12 +245,12 @@ def scc(
         rev_same = (
             rev.join(csrc, "src").join(cdst, "dst").filter(F.col("c1") == F.col("c2"))
             .select("src", "dst")
-            .localCheckpoint(True)
+            .localCheckpointFlat(True)
         )
         reached = (
             colors.filter(F.col("id") == F.col("color"))
             .select("id", F.col("color").alias("label"))
-            .localCheckpoint(True)
+            .localCheckpointFlat(True)
         )
         frontier = reached
         for _bfs in range(200):
@@ -260,18 +260,18 @@ def scc(
                 .select(F.col("dst").alias("id"), "label")
                 .distinct()
                 .join(reached, "id", "left_anti")
-                .localCheckpoint(True)
+                .localCheckpointFlat(True)
             )
             if nxt.count() == 0:
                 break
-            reached = reached.unionByName(nxt).localCheckpoint(True)
+            reached = reached.unionByName(nxt).localCheckpointFlat(True)
             frontier = nxt
-        assigned_parts.append(reached.localCheckpoint(True))
-        active_v = active_v.join(reached, "id", "left_anti").localCheckpoint(True)
+        assigned_parts.append(reached.localCheckpointFlat(True))
+        active_v = active_v.join(reached, "id", "left_anti").localCheckpointFlat(True)
         active_e = (
             active_e.join(reached.select(F.col("id").alias("src")), "src", "left_anti")
             .join(reached.select(F.col("id").alias("dst")), "dst", "left_anti")
-            .localCheckpoint(True)
+            .localCheckpointFlat(True)
         )
 
     if not assigned_parts:
@@ -316,7 +316,7 @@ def decompose(
     if maxcompno is not None:
         chosen = chosen.limit(maxcompno)
     comp_ids = [int(r["component"]) for r in chosen.collect()]
-    mem = membership.localCheckpoint(eager=True)
+    mem = membership.localCheckpointFlat(eager=True)
     out = []
     for c in comp_ids:
         vs = mem.filter(F.col("component") == c).select("id")

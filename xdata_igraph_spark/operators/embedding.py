@@ -72,7 +72,7 @@ def adjacency_spectral_embedding(
     sym = e.select("src", "dst", "weight")
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
-    ).repartition("src").localCheckpoint(eager=True)
+    ).repartition("src").localCheckpointFlat(eager=True)
 
     verts = graph.vertices()
     if cvec is not None:
@@ -81,7 +81,7 @@ def adjacency_spectral_embedding(
         ).select("id", F.coalesce("_c", F.lit(0.0)).alias("_c"))
     else:
         base = verts.withColumn("_c", F.lit(0.0))
-    base = base.repartition("id").localCheckpoint(eager=True)
+    base = base.repartition("id").localCheckpointFlat(eager=True)
 
     xs = [f"x{j}" for j in range(k)]
     # deterministic pseudo-random start: k independent ±-ish columns
@@ -92,7 +92,7 @@ def adjacency_spectral_embedding(
         ).alias(f"x{j}")
         for j in range(k)
     ]
-    state = base.select("id", "_c", *init_cols).localCheckpoint(eager=True)
+    state = base.select("id", "_c", *init_cols).localCheckpointFlat(eager=True)
 
     prev_evals: np.ndarray | None = None
     evals = np.zeros(k)
@@ -120,7 +120,7 @@ def adjacency_spectral_embedding(
                 ],
                 *xs,
             )
-            .localCheckpoint(eager=False)
+            .localCheckpointFlat(eager=False)
         )
         # ---- one aggregate: Gram(Y) and Xᵀ·Y (k×k each) ----
         aggs = []
@@ -159,7 +159,7 @@ def adjacency_spectral_embedding(
                 ).alias(f"x{j}")
                 for j in range(k)
             ],
-        ).localCheckpoint(eager=True)
+        ).localCheckpointFlat(eager=True)
         state = new_state
         evals = new_evals
         rot_applied = rayleigh

@@ -45,9 +45,9 @@ def coreness(graph: LinkGraph, mode: str = "all", method: str = "hindex",
     # degrees count simple incident edges like the reference's default
     # (loops contribute; our fixtures are simple graphs)
     edges = adj.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    active_e = edges.localCheckpoint(eager=True)
+    active_e = edges.localCheckpointFlat(eager=True)
     active_v = (
-        graph.vertices().localCheckpoint(eager=True)
+        graph.vertices().localCheckpointFlat(eager=True)
     )
     spark = graph.spark
     result_parts: list[DataFrame] = []
@@ -60,19 +60,19 @@ def coreness(graph: LinkGraph, mode: str = "all", method: str = "hindex",
             with_deg = active_v.join(deg, "id", "left").select(
                 "id", F.coalesce("deg", F.lit(0)).alias("deg")
             )
-            peeled = with_deg.filter(F.col("deg") < k).select("id").localCheckpoint(True)
+            peeled = with_deg.filter(F.col("deg") < k).select("id").localCheckpointFlat(True)
             if peeled.limit(1).count() == 0:
                 break
             result_parts.append(
                 peeled.withColumn("coreness", F.lit(k - 1).cast("long"))
             )
-            active_v = active_v.join(peeled, "id", "left_anti").localCheckpoint(True)
+            active_v = active_v.join(peeled, "id", "left_anti").localCheckpointFlat(True)
             active_e = (
                 active_e.join(
                     peeled.withColumnRenamed("id", "src"), "src", "left_anti"
                 )
                 .join(peeled.withColumnRenamed("id", "dst"), "dst", "left_anti")
-                .localCheckpoint(True)
+                .localCheckpointFlat(True)
             )
         k += 1
         if k > 1_000_000:  # safety
@@ -99,7 +99,7 @@ def _coreness_hindex(graph: LinkGraph, mode: str, max_iter: int) -> DataFrame:
         adj.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .repartition("src")
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
     vals = edges.groupBy(F.col("src").alias("id")).agg(
         F.count("*").cast("long").alias("val")
@@ -109,7 +109,7 @@ def _coreness_hindex(graph: LinkGraph, mode: str, max_iter: int) -> DataFrame:
         verts.join(vals, "id", "left")
         .select("id", F.coalesce("val", F.lit(0)).alias("val"))
         .repartition("id")
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
     for _it in range(max_iter):
         nbr = edges.join(
@@ -131,7 +131,7 @@ def _coreness_hindex(graph: LinkGraph, mode: str, max_iter: int) -> DataFrame:
                 F.col("val").alias("_old"),
                 F.coalesce("h", F.lit(0)).alias("val"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpointFlat(eager=False)
         )
         changed = new_vals.filter(F.col("val") != F.col("_old")).count()
         vals = new_vals.drop("_old")

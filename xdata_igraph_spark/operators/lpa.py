@@ -79,7 +79,7 @@ def label_propagation(
 
         adj = bucketize(adj, ["src"], name="lpa_adj")
     else:
-        adj = adj.repartition("src").localCheckpoint(eager=True)
+        adj = adj.repartition("src").localCheckpointFlat(eager=True)
 
     verts = graph.vertices()
     if initial is not None:

@@ -105,7 +105,7 @@ def pagerank(
         outs = (
             adj.groupBy("src")
             .agg(F.sum(clamped).alias("outs"), F.min("weight").alias("_minw"))
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
             # fresh exprIds: the LogicalRDD keeps the upstream attribute
             # ids, which would collide with adj's own `src` in the join
             .select(*(F.col(c).alias(c) for c in ["src", "outs", "_minw"]))
@@ -133,7 +133,7 @@ def pagerank(
 
         contrib = bucketize(contrib, ["src"], name="pr_contrib")
     else:
-        contrib = contrib.repartition("src").localCheckpoint(eager=True)
+        contrib = contrib.repartition("src").localCheckpointFlat(eager=True)
 
     # --- vertex base: reset distribution + dangling flag ---
     verts = graph.vertices()
@@ -155,7 +155,7 @@ def pagerank(
         )
     else:
         base = base.withColumn("reset", F.lit(1.0 / n))
-    base = base.repartition("id").localCheckpoint(eager=True)
+    base = base.repartition("id").localCheckpointFlat(eager=True)
 
     runner = runner or SuperstepRunner(
         spark,

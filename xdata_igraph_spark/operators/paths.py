@@ -45,7 +45,7 @@ def _edges_for_mode(graph: LinkGraph, mode: str) -> DataFrame:
         e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
     elif mode != "out":
         raise ValueError(f"bad mode {mode!r}")
-    return e.repartition("src").localCheckpoint(eager=True)
+    return e.repartition("src").localCheckpointFlat(eager=True)
 
 
 def shortest_paths(
@@ -89,7 +89,7 @@ def shortest_paths(
     # state rows exist only for reached (source, id) pairs
     state = src_df.select(
         "source", F.col("source").alias("id"), F.lit(0.0).alias("dist")
-    ).repartition("id").localCheckpoint(eager=True)
+    ).repartition("id").localCheckpointFlat(eager=True)
 
     for it in range(max_iter):
         relaxed = (
@@ -200,8 +200,8 @@ def topological_sorting(
     e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     if mode == "in":
         e = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    e = e.localCheckpoint(eager=True)
-    remaining = graph.vertices().localCheckpoint(eager=True)
+    e = e.localCheckpointFlat(eager=True)
+    remaining = graph.vertices().localCheckpointFlat(eager=True)
     layers: list[DataFrame] = []
     layer_no = 0
     while True:
@@ -209,14 +209,14 @@ def topological_sorting(
         if n_rem == 0:
             break
         with_in = e.select(F.col("dst").alias("id")).distinct()
-        zero_in = remaining.join(with_in, "id", "left_anti").localCheckpoint(True)
+        zero_in = remaining.join(with_in, "id", "left_anti").localCheckpointFlat(True)
         n_zero = zero_in.count()
         if n_zero == 0:
             raise ValueError("graph has a cycle; topological sort undefined "
                              "(igraph_is_dag false)")
         layers.append(zero_in.withColumn("layer", F.lit(layer_no).cast("long")))
-        remaining = remaining.join(zero_in, "id", "left_anti").localCheckpoint(True)
-        e = e.join(zero_in.withColumnRenamed("id", "src"), "src", "left_anti").localCheckpoint(True)
+        remaining = remaining.join(zero_in, "id", "left_anti").localCheckpointFlat(True)
+        e = e.join(zero_in.withColumnRenamed("id", "src"), "src", "left_anti").localCheckpointFlat(True)
         layer_no += 1
         if layer_no > max_iter:  # pragma: no cover
             raise RuntimeError("topological sort did not terminate")
@@ -283,7 +283,7 @@ def shortest_paths_with_parents(
         F.col("source").alias("id"),
         F.lit(0.0).alias("dist"),
         F.lit(None).cast("long").alias("parent"),
-    ).repartition("id").localCheckpoint(eager=True)
+    ).repartition("id").localCheckpointFlat(eager=True)
 
     for it in range(max_iter):
         relaxed = (
@@ -378,13 +378,13 @@ def get_shortest_paths(
     else:
         st_t = st
     # walk: (target, dist, cur, path); prepend parent(cur) until source
-    parents = st.select("id", "parent").localCheckpoint(eager=True)
+    parents = st.select("id", "parent").localCheckpointFlat(eager=True)
     walk = st_t.select(
         F.col("id").alias("target"),
         "dist",
         F.col("id").alias("cur"),
         F.array(F.col("id")).alias("path"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
     done = walk.filter(F.col("cur") == F.lit(int(source)))
     active = walk.filter(F.col("cur") != F.lit(int(source)))
     for _ in range(max_iter):
@@ -398,11 +398,11 @@ def get_shortest_paths(
                 F.col("parent").alias("cur"),
                 F.concat(F.array(F.col("parent")), F.col("path")).alias("path"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
         )
         done = done.unionByName(
             stepped.filter(F.col("cur") == F.lit(int(source)))
-        ).localCheckpoint(eager=True)
+        ).localCheckpointFlat(eager=True)
         active = stepped.filter(F.col("cur") != F.lit(int(source)))
     return done.select(
         F.lit(int(source)).alias("source"), "target", "dist", "path"
@@ -601,7 +601,7 @@ def unfold_tree(
             F.col("c.dist").alias("dist"),
             F.col("c.parent").alias("parent"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
 
     use_all = mode == "all" or not graph.directed
@@ -699,7 +699,7 @@ def get_all_shortest_paths(
     dist = shortest_paths(graph, [int(source)], mode=mode, max_iter=max_iter)
     dist = dist.filter(~F.col("dist").isNull()).select(
         "id", F.col("dist").cast("long").alias("dist")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
 
     edges = _edges_for_mode(graph, mode).select("src", "dst").distinct()
     dsrc = dist.select(F.col("id").alias("src"), F.col("dist").alias("d_src"))
@@ -709,7 +709,7 @@ def get_all_shortest_paths(
         edges.join(dsrc, "src").join(ddst, "dst")
         .filter(F.col("d_dst") == F.col("d_src") + 1)
         .select(F.col("dst").alias("head"), F.col("src").alias("parent"))
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
 
     targets = dist
@@ -724,7 +724,7 @@ def get_all_shortest_paths(
         "dist",
         F.col("id").alias("head"),
         F.array(F.col("id")).alias("path"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
     done = state.filter(F.col("head") == source)
     for _it in range(max_iter):
         active = state.filter(F.col("head") != source)
@@ -738,7 +738,7 @@ def get_all_shortest_paths(
                 F.col("parent").alias("head"),
                 F.concat(F.array(F.col("parent")), F.col("path")).alias("path"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
         )
         n_open = ext.count()
         if n_open > max_paths:

@@ -130,11 +130,11 @@ def _khop_closed(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
     reached = graph.vertices().select(
         F.col("id").alias("v"), F.col("id").alias("u")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
     frontier = reached
     for _ in range(k):
         nxt = (
@@ -143,11 +143,11 @@ def _khop_closed(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
             .select("v", F.col("dst").alias("u"))
             .distinct()
             .join(reached, ["v", "u"], "left_anti")
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
         )
         if nxt.isEmpty():
             break
-        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        reached = reached.unionByName(nxt).localCheckpointFlat(eager=True)
         frontier = nxt
     return reached
 

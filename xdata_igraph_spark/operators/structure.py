@@ -34,12 +34,12 @@ def neighborhood_size(
         .select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
     verts = graph.vertices()
     reached = verts.select(
         F.col("id"), F.col("id").alias("nbr"), F.lit(0).alias("dist")
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
     frontier = reached
     for k in range(1, order + 1):
         nxt = (
@@ -49,11 +49,11 @@ def neighborhood_size(
             .distinct()
             .join(reached.select("id", "nbr"), ["id", "nbr"], "left_anti")
             .withColumn("dist", F.lit(k))
-            .localCheckpoint(eager=True)
+            .localCheckpointFlat(eager=True)
         )
         if nxt.isEmpty():
             break
-        reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+        reached = reached.unionByName(nxt).localCheckpointFlat(eager=True)
         frontier = nxt
     counted = (
         reached.filter(F.col("dist") >= mindist)
@@ -263,7 +263,7 @@ def triad_census(graph: LinkGraph) -> DataFrame:
         graph.edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
     # unordered connected pairs with both arc flags (fwd = low → high)
     pairs = (
@@ -277,7 +277,7 @@ def triad_census(graph: LinkGraph) -> DataFrame:
             F.max(F.col("is_f")).alias("f"),
             F.max(~F.col("is_f")).alias("bwd"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
     sym = (
         arcs.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -71,7 +71,7 @@ def _oriented(graph: LinkGraph) -> DataFrame:
 def list_triangles(graph: LinkGraph) -> DataFrame:
     """Each triangle exactly once → (v1, v2, v3) with v1 oriented-lowest
     (igraph_list_triangles, /root/reference/src/triangles.c:567-573)."""
-    ori = _oriented(graph).localCheckpoint(eager=True)
+    ori = _oriented(graph).localCheckpointFlat(eager=True)
     wedge = (
         ori.alias("e1")
         .join(ori.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
@@ -183,7 +183,7 @@ def transitivity_barrat(graph: LinkGraph, mode: str = "nan") -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("weight").alias("w"))
-        .localCheckpoint(eager=True)
+        .localCheckpointFlat(eager=True)
     )
     sym = e.select(F.col("a").alias("i"), F.col("b").alias("j"), "w").union(
         e.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")

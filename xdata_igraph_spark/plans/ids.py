@@ -50,7 +50,7 @@ def zip_dense_ids(
     part = df.repartitionByRange(num_partitions, *order_cols)
     with_pid = part.select(
         F.spark_partition_id().alias("_pid"), *cols
-    ).localCheckpoint(eager=True)
+    ).localCheckpointFlat(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

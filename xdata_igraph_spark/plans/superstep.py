@@ -217,10 +217,10 @@ class SuperstepRunner:
                 # Eager preserves partitioning metadata but costs a
                 # second job per superstep; measured slower on the
                 # 44.6M-edge benchmark, kept as an option.
-                out = state.localCheckpoint(eager=self.eager_state)
+                out = state.localCheckpointFlat(eager=self.eager_state)
                 self._last_was_cut = True
             elif self._last_was_cut:
-                out = state.localCheckpoint(eager=False)
+                out = state.localCheckpointFlat(eager=False)
             else:
                 from pyspark import StorageLevel
 

@@ -303,7 +303,7 @@ def _distinct_indices(spark: SparkSession, space: int, m: int, seed: int):
         )
         acc = draws if acc is None else acc.unionByName(draws)
         dedup = acc.groupBy("edge_idx").agg(F.min("ord").alias("ord"))
-        dedup = dedup.localCheckpoint(eager=True)
+        dedup = dedup.localCheckpointFlat(eager=True)
         if dedup.count() >= m:
             return dedup.orderBy("ord").limit(m).select("edge_idx")
         acc = dedup
@@ -475,7 +475,7 @@ def kautz(spark: SparkSession, m: int, n: int) -> LinkGraph:
         .select(F.col("id").alias("value"))
         .filter(valid)
     )
-    ids = zip_dense_ids(strings, ["value"], out_col="vid").localCheckpoint(True)
+    ids = zip_dense_ids(strings, ["value"], out_col="vid").localCheckpointFlat(True)
     # w value = (v value without leading digit) * base + c, c != v's last digit
     tail = F.col("value") % F.lit(base ** n)
     cand = ids.select(

@@ -111,3 +111,62 @@ def stream_link_rate(
         .agg(F.count("*").alias("n_links"))
         .select(F.col("w.start").alias("window_start"), "n_links")
     )
+
+
+def stream_incremental_degree(
+    edges_stream: DataFrame,
+    checkpoint: str,
+    out_path: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful streaming operator: running out-degree per src
+    across micro-batches via ``applyInPandasWithState`` (the engine's
+    GroupState path for operators Spark lacks built-in).
+
+    State per src is ONE long (the cumulative degree) — the Arrow
+    batch carries only the group's new arrivals, so state size is
+    O(distinct active src), independent of stream length. Emits one
+    (src, degree) row per src per micro-batch in which it changed
+    (``update`` semantics) to a parquet append sink.
+
+    At crawl scale the state store is RocksDB-backed per partition
+    and the grouping shuffle is the same hash partitioning every
+    stateful Spark aggregation pays; no igraph analogue exists (the
+    reference is batch-only — SURVEY §2.9), this is the
+    engine-extension path.
+    """
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        new = 0
+        for pdf in pdf_iter:
+            new += len(pdf)
+        if new:
+            total += new
+            state.update((total,))
+        yield pd.DataFrame({"src": [key[0]], "degree": [total]})
+
+    updates = edges_stream.select("src").groupBy("src").applyInPandasWithState(
+        update,
+        outputStructType="src long, degree long",
+        stateStructType="degree long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    def _append_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    # update-mode stateful output; the parquet sink is append-only, so
+    # per-batch rows land via foreachBatch (the standard pairing)
+    writer = (
+        updates.writeStream.foreachBatch(_append_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
