@@ -121,3 +121,18 @@ def test_size_guard(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(foreign, "MAX_TEXT_BYTES", 1)
     with pytest.raises(ValueError, match="driver-side"):
         foreign.read_gml(spark, p)
+
+
+def test_dl_fullmatrix_and_edgelist(spark, tmp_path):
+    p = str(tmp_path / "m.dl")
+    with open(p, "w") as f:
+        f.write("dl n=3 format=fullmatrix\ndata:\n0 2 1\n0 0 0\n1 0 0\n")
+    g = foreign.read_dl(spark, p, directed=True)
+    got = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert got == {(0, 1): 2.0, (0, 2): 1.0, (2, 0): 1.0}
+    p2 = str(tmp_path / "e.dl")
+    with open(p2, "w") as f:
+        f.write("DL N=4 FORMAT=EDGELIST1\nDATA:\n1 2 1.5\n3 4\n")
+    g2 = foreign.read_dl(spark, p2, directed=True)
+    got2 = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
+    assert got2 == {(0, 1): 1.5, (2, 3): 1.0}

@@ -947,3 +947,57 @@ def test_cliques_k4_fixture(spark):
     got = cliques(g, min_size=4, max_size=4).collect()
     assert len(got) == 5  # C(5,4)
     assert all(r["size"] == 4 for r in got)
+
+
+# ------------------------------------------------------------ flow / bipartite
+
+
+def test_maxflow_classic_fixture(spark):
+    from xdata_igraph_spark.operators.flow import maxflow_value, st_mincut
+
+    # CLRS-style network: maxflow(0→5) = 23
+    rows = [
+        (0, 1, 16.0), (0, 2, 13.0), (1, 2, 10.0), (2, 1, 4.0),
+        (1, 3, 12.0), (3, 2, 9.0), (2, 4, 14.0), (4, 3, 7.0),
+        (3, 5, 20.0), (4, 5, 4.0),
+    ]
+    g = LinkGraph(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        directed=True, n=6,
+    )
+    assert maxflow_value(g, 0, 5) == pytest.approx(23.0)
+    val, p1, cut = st_mincut(g, 0, 5)
+    assert val == pytest.approx(23.0)
+    cut_edges = {(r["src"], r["dst"]) for r in cut.collect()}
+    caps = {(a, b): c for a, b, c in rows}
+    assert sum(caps[e] for e in cut_edges) == pytest.approx(23.0)
+    side1 = {r["id"] for r in p1.collect()}
+    assert 0 in side1 and 5 not in side1
+
+
+def test_maxflow_undirected_path(spark):
+    from xdata_igraph_spark.operators.flow import maxflow_value
+
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2)], directed=False, n=3)
+    assert maxflow_value(g, 0, 2) == pytest.approx(1.0)
+
+
+def test_is_bipartite(spark):
+    from xdata_igraph_spark.operators.components import is_bipartite
+    from xdata_igraph_spark.sources.generators import ring, star
+
+    ok, types = is_bipartite(ring(spark, 6, directed=False))
+    assert ok
+    tmap = {r["id"]: r["type"] for r in types.collect()}
+    assert all(tmap[i] != tmap[(i + 1) % 6] for i in range(6))
+    ok, _ = is_bipartite(ring(spark, 5, directed=False))
+    assert not ok  # odd cycle
+    ok, _ = is_bipartite(star(spark, 7, mode="undirected"))
+    assert ok
+    # two components: C4 + odd triangle → not bipartite
+    g = LinkGraph.from_pairs(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6), (6, 4)],
+        directed=False, n=7,
+    )
+    ok, _ = is_bipartite(g)
+    assert not ok

@@ -322,3 +322,42 @@ def decompose(
         vs = mem.filter(F.col("component") == c).select("id")
         out.append(graph.induced_subgraph(vs))
     return out
+
+
+def is_bipartite(graph: LinkGraph) -> tuple[bool, DataFrame]:
+    """(bipartite?, types (id, type)) — igraph_is_bipartite
+    (/root/reference/src/bipartite.c): 2-color each component by BFS
+    layer parity from its minimum-id vertex, then check that no edge
+    (and no loop) joins two same-colored endpoints.
+
+    Distributed plan: one WCC (component representatives), one
+    multi-source BFS (each vertex is reached only by its own
+    component's root, so all roots batch into a single loop), one
+    edge-size conflict join — the same superstep shapes as WCC itself.
+    The returned coloring is valid iff the graph is bipartite
+    (the reference's `types` output contract).
+    """
+    from xdata_igraph_spark.operators.paths import shortest_paths
+
+    spark = graph.spark
+    comp = wcc(graph)
+    roots = comp.groupBy("component").agg(F.min("id").alias("root")).select(
+        F.col("root").alias("id")
+    )
+    dist = shortest_paths(graph, roots, mode="all")
+    types = dist.select(
+        "id", (F.col("dist").cast("long") % 2 == 1).alias("type")
+    )
+    e = graph.edges.select("src", "dst")
+    loops = e.filter(F.col("src") == F.col("dst")).limit(1).count()
+    if loops:
+        return False, types
+    ts = types.select(F.col("id").alias("src"), F.col("type").alias("tsrc"))
+    td = types.select(F.col("id").alias("dst"), F.col("type").alias("tdst"))
+    conflict = (
+        e.join(ts, "src").join(td, "dst")
+        .filter(F.col("tsrc") == F.col("tdst"))
+        .limit(1)
+        .count()
+    )
+    return conflict == 0, types

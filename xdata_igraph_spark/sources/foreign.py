@@ -385,3 +385,50 @@ def write_leda(graph: LinkGraph, path: str) -> None:
         f.write(f"{m}\n")
         for r in graph.edges.select("src", "dst", "weight").toLocalIterator():
             f.write(f"{r[0] + 1} {r[1] + 1} 0 |{{{r[2]:g}}}|\n")
+
+
+# ---------------------------------------------------------------------------
+# UCINET DL
+# ---------------------------------------------------------------------------
+
+
+def read_dl(spark: SparkSession, path: str, directed: bool = True) -> LinkGraph:
+    """UCINET DL → graph (igraph_read_graph_dl,
+    /root/reference/src/foreign.c:2977). Supports the two formats the
+    reference's lexer handles in practice: ``fullmatrix`` (default —
+    n×n numbers after ``data:``) and ``edgelist1`` (``from to
+    [weight]`` rows, 1-based). Case-insensitive keywords; ``n=``
+    required."""
+    text = _slurp(path)
+    header_m = re.search(r"dl\b(.*?)(?:^|\n)\s*data\s*:", text,
+                         re.IGNORECASE | re.DOTALL)
+    if header_m is None:
+        raise ValueError("no 'dl ... data:' header in DL input")
+    header = header_m.group(1)
+    nm = re.search(r"n\s*[=:]\s*(\d+)", header, re.IGNORECASE)
+    if nm is None:
+        raise ValueError("DL header missing n=")
+    n = int(nm.group(1))
+    fm = re.search(r"format\s*[=:]\s*(\S+)", header, re.IGNORECASE)
+    fmt = (fm.group(1).lower() if fm else "fullmatrix")
+    body = text[header_m.end():]
+    nums = body.split()
+    rows: list[tuple[int, int, float]] = []
+    if fmt.startswith("fullmatrix"):
+        vals = [float(x) for x in nums]
+        if len(vals) != n * n:
+            raise ValueError(f"fullmatrix body has {len(vals)} values, want {n * n}")
+        for i in range(n):
+            for j in range(n):
+                w = vals[i * n + j]
+                if w != 0 and (directed or i <= j):
+                    rows.append((i, j, w))
+    elif fmt.startswith("edgelist1"):
+        i = 0
+        lines = [ln.split() for ln in body.splitlines() if ln.strip()]
+        for parts in lines:
+            w = float(parts[2]) if len(parts) > 2 else 1.0
+            rows.append((int(parts[0]) - 1, int(parts[1]) - 1, w))
+    else:
+        raise ValueError(f"unsupported DL format {fmt!r}")
+    return LinkGraph(_edges_df(spark, rows), directed=directed, n=n)
