@@ -556,9 +556,14 @@ def _q_barrat(spark, sf_dir):
 
 
 def _q_simhash_near(spark, sf_dir):
+    # radius 6 → 7-band split (sound per the bands = max_hamming + 1
+    # pigeonhole); the oracle is a BRUTE-FORCE all-pairs hamming scan,
+    # not a mirror of the banding, so it independently verifies the
+    # banded join misses nothing (the r3 hole at radius 16 was invisible
+    # to a banding-mirrored oracle)
     from xdata_igraph_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=16).select(
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=6).select(
         "a", "b", F.col("hamming").cast("bigint").alias("hamming")
     )
 
@@ -1409,16 +1414,13 @@ fp AS (
     coalesce(CASE WHEN agg.fpu >= 9223372036854775808::HUGEINT
                   THEN (agg.fpu - 18446744073709551616::HUGEINT)::BIGINT
                   ELSE agg.fpu::BIGINT END, 0) AS f
-  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
-chunks AS (
-  SELECT doc_id, f, c.range::VARCHAR || ':' ||
-         (((f >> (16 * c.range::INT)) & 65535))::VARCHAR AS bucket
-  FROM fp, range(0, 4) c),
-cand AS (
-  SELECT DISTINCT t1.doc_id AS a, t2.doc_id AS b, t1.f AS fa, t2.f AS fb
-  FROM chunks t1 JOIN chunks t2 ON t1.bucket = t2.bucket AND t1.doc_id < t2.doc_id)
-SELECT a, b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(fa, fb)) <= 16"""
+  FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id)
+-- brute-force all-pairs scan: independently verifies the Spark side's
+-- banded bucket join is COMPLETE at this radius
+SELECT t1.doc_id AS a, t2.doc_id AS b,
+       CAST(bit_count(xor(t1.f, t2.f)) AS BIGINT) AS hamming
+FROM fp t1 JOIN fp t2 ON t1.doc_id < t2.doc_id
+WHERE bit_count(xor(t1.f, t2.f)) <= 6"""
 
     sql["subgraph_edges_degrees"] = f"""WITH {DENSE_EDGES_SQL},
 kept AS (SELECT src, dst FROM edges WHERE weight >= 2),

@@ -98,6 +98,31 @@ def test_simhash_properties(spark, docs):
     assert near[(0, 3)] == 0
 
 
+def test_simhash_near_pairs_complete_at_any_radius(spark):
+    """The banded bucket join must return EXACTLY the brute-force
+    all-pairs-within-radius set (the r3 4x16-bit split silently dropped
+    pairs for max_hamming > 3)."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=12)))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"] & (2**64 - 1) for r in simhash(docs).collect()}
+    for radius in (3, 6, 16):
+        want = {}
+        for a, b in itertools.combinations(sorted(fp), 2):
+            h = bin(fp[a] ^ fp[b]).count("1")
+            if h <= radius:
+                want[(a, b)] = h
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in simhash_near_pairs(docs, max_hamming=radius).collect()
+        }
+        assert got == want, f"radius {radius}: banded join != brute force"
+
+
 def test_textstats(spark, docs):
     ts = {r["doc_id"]: r for r in token_stats(docs).collect()}
     assert ts[0]["n_tokens"] == 10

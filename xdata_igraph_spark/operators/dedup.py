@@ -206,10 +206,34 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _simhash_band_bounds(bands: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per band, widths as even as possible over the
+    64 fingerprint bits."""
+    base, rem = divmod(64, bands)
+    bounds, off = [], 0
+    for c in range(bands):
+        w = base + (1 if c < rem else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
+
+
 def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """(a, b, hamming) pairs within Hamming distance — banded on the
-    four 16-bit chunks (a pair within distance 3 shares ≥1 chunk), so
-    the join is bucketed, not n²."""
+    """(a, b, hamming) — ALL pairs within Hamming distance ``max_hamming``.
+
+    Banded bucket join: the 64-bit fingerprint splits into
+    ``max_hamming + 1`` near-equal-width bit chunks; by pigeonhole, any
+    pair differing in ≤ max_hamming bits agrees exactly on at least one
+    chunk, so the chunk-equality join is COMPLETE at every radius (r3
+    used a fixed 4×16-bit split, complete only for max_hamming ≤ 3 —
+    larger radii silently dropped pairs). Candidates stay ∝ collisions,
+    never n²; note selectivity degrades as the radius grows (bands get
+    narrow, buckets get hot) — SimHash banding is only a good scale
+    plan for small radii, which is also its semantic sweet spot.
+    """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    bands = max_hamming + 1
     fp = simhash(docs, text_col)
     chunks = fp.select(
         "doc_id",
@@ -219,11 +243,15 @@ def simhash_near_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int
                 *[
                     F.concat(
                         F.lit(f"{c}:"),
-                        F.shiftright(F.col("simhash"), 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .cast("string"),
+                        (
+                            F.col("simhash")  # bands == 1: whole fingerprint
+                            if w == 64
+                            else F.shiftright(F.col("simhash"), off).bitwiseAND(
+                                F.lit((1 << w) - 1)
+                            )
+                        ).cast("string"),
                     )
-                    for c in range(4)
+                    for c, (off, w) in enumerate(_simhash_band_bounds(bands))
                 ]
             )
         ).alias("bucket"),
