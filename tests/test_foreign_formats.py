@@ -136,3 +136,56 @@ def test_dl_fullmatrix_and_edgelist(spark, tmp_path):
     g2 = foreign.read_dl(spark, p2, directed=True)
     got2 = {(r["src"], r["dst"]): r["weight"] for r in g2.edges.collect()}
     assert got2 == {(0, 1): 1.5, (2, 3): 1.0}
+
+
+def _big_path_graph(spark, n=14):
+    rows = [(i, i + 1, float(i + 1)) for i in range(n - 1)]
+    return LinkGraph(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        directed=True, n=n,
+    )
+
+
+def test_graphml_roundtrip_preserves_identity_over_10_vertices(spark, tmp_path):
+    # regression: lexicographic minting permuted 'n10' before 'n2'
+    g = _big_path_graph(spark)
+    p = str(tmp_path / "big.graphml")
+    foreign.write_graphml(g, p)
+    g2, names = foreign.read_graphml(spark, p)
+    assert g2.vcount() == 14
+    assert _edge_set(g2) == _edge_set(g)
+    assert {r["id"]: r["name"] for r in names.collect()} == {
+        i: f"n{i}" for i in range(14)
+    }
+
+
+def test_lgl_roundtrip_preserves_identity_over_10_vertices(spark, tmp_path):
+    g = _big_path_graph(spark)
+    p = str(tmp_path / "big.lgl")
+    foreign.write_lgl(g, p)
+    g2, names = foreign.read_lgl(spark, p, directed=True)
+    assert _edge_set(g2) == _edge_set(g)
+
+
+def test_gml_implicit_vertices_for_undeclared_endpoints(spark, tmp_path):
+    p = str(tmp_path / "impl.gml")
+    with open(p, "w") as f:
+        f.write("graph\n[\n  directed 1\n  node\n  [\n    id 5\n  ]\n")
+        f.write("  edge\n  [\n    source 5\n    target 9\n  ]\n]\n")
+    g = foreign.read_gml(spark, p)
+    assert g.vcount() == 2
+    assert sorted((r["src"], r["dst"]) for r in g.edges.collect()) == [(0, 1)]
+
+
+def test_dot_escapes_quotes_and_backslashes(spark, tmp_path):
+    g = _g(spark)
+    names = spark.createDataFrame(
+        [(0, 'say "hi"'), (1, "back\\slash"), (2, "<b>&amp;</b>"), (3, "plain")],
+        "id long, name string",
+    )
+    p = str(tmp_path / "esc.dot")
+    foreign.write_dot(g, p, names=names)
+    text = open(p).read()
+    assert '[label="say \\"hi\\""]' in text
+    assert '[label="back\\\\slash"]' in text
+    assert "&amp;amp;" not in text and '[label="<b>&amp;</b>"]' in text

@@ -1001,3 +1001,17 @@ def test_is_bipartite(spark):
     )
     ok, _ = is_bipartite(g)
     assert not ok
+
+
+def test_cliques_level_guard_raises_on_dense_blowup(spark):
+    from xdata_igraph_spark.operators.cliques import cliques
+
+    # K7: level 3 holds C(7,3)=35 triangles > the tiny guard
+    n = 7
+    rows = [(a, b, 1.0) for a in range(n) for b in range(n) if a < b]
+    g = LinkGraph(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        directed=False, n=n,
+    )
+    with pytest.raises(ValueError, match="max_level_rows"):
+        cliques(g, min_size=2, max_level_rows=30).collect()

@@ -58,13 +58,22 @@ def _oriented(graph: LinkGraph) -> DataFrame:
 
 
 def cliques(
-    graph: LinkGraph, min_size: int = 2, max_size: int = 0
+    graph: LinkGraph,
+    min_size: int = 2,
+    max_size: int = 0,
+    max_level_rows: int = 50_000_000,
 ) -> DataFrame:
     """All cliques with min_size ≤ |C| ≤ max_size → (members:
     array<long> ascending by enumeration rank, size) —
     igraph_cliques semantics (max_size 0 = unbounded, loops/multi
     edges ignored; igraph also lists size-1 cliques when min_size ≤ 1:
-    included here for parity)."""
+    included here for parity).
+
+    The k-clique count is worst-case exponential in the largest clique
+    (a clique of size c contributes C(c, k) rows at every level k), so
+    each level is row-count guarded: exceeding ``max_level_rows``
+    raises instead of silently materializing an exponential
+    intermediate (same spirit as flow.py's max_edges guard)."""
     arcs = _oriented(graph)
     spark = graph.spark
     out: list[DataFrame] = []
@@ -80,8 +89,16 @@ def cliques(
     while True:
         if max_size and k > max_size:
             break
-        if level.isEmpty():
+        n_level = level.count()
+        if n_level == 0:
             break
+        if n_level > max_level_rows:
+            raise ValueError(
+                f"clique level {k} holds {n_level} cliques "
+                f"(> max_level_rows={max_level_rows}); the graph's "
+                "clique structure is too dense for full enumeration — "
+                "bound max_size, or raise max_level_rows explicitly"
+            )
         if k >= min_size:
             out.append(
                 level.select(
@@ -121,7 +138,13 @@ def maximal_cliques(
     """Maximal cliques → (members, size) (igraph_maximal_cliques,
     /root/reference/src/cliques.c:567): a clique is maximal iff no
     vertex is adjacent to all of its members — one explode + adjacency
-    join + count aggregate filters the full clique list."""
+    join + count aggregate filters the full clique list.
+
+    Enumerates ALL cliques first, so on graphs with a large maximum
+    clique the intermediates are exponentially larger than the maximal
+    output (the reference's Bron–Kerbosch never materializes them);
+    the per-level guard in ``cliques`` turns that blowup into a
+    descriptive error rather than a hung job."""
     allc = cliques(graph, min_size=max(min_size, 1), max_size=max_size)
     und = (
         graph.symmetrized()

@@ -135,10 +135,13 @@ def _local_moves(
         )
         changed = new_labels.filter(F.col("comm") != F.col("_old")).count()
         labels = new_labels.drop("_old")
-        # local optimum = a full parity cycle (both halves) without a
-        # single move
+        # local optimum = a full SAME-SEED parity cycle (both halves of
+        # one hash draw) without a single move; the streak must end on
+        # an odd sweep — sweeps 2k-1 and 2k use different seeds, and a
+        # streak spanning them leaves ~25% of vertices (parity-
+        # mismatched under both draws) never move-eligible
         zero_streak = zero_streak + 1 if changed == 0 else 0
-        if zero_streak >= 2:
+        if zero_streak >= 2 and sweep % 2 == 1:
             break
     return labels.select("id", "comm")
 

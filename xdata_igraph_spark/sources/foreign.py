@@ -18,11 +18,18 @@ stream edges through ``toLocalIterator`` so the driver never holds
 the whole edge set, but output is still one text file by format
 definition.
 
-Vertex-id contract: formats with explicit integer ids (Pajek, DIMACS)
-keep them (1-based → 0-based). Formats with symbolic ids (GML ids,
-GraphML node names, LGL labels) mint dense ids by sorted symbol —
-the same deterministic deviation read_ncol documents (the reference
-numbers by first appearance, which is inherently sequential).
+Vertex-id contract: formats with explicit integer ids (Pajek, DIMACS,
+GML) keep them (1-based → 0-based; GML's arbitrary integer ids
+renumber densely by sorted id). GraphML node names mint dense ids by
+FIRST APPEARANCE in the document, matching the reference — these
+parsers are driver-side and sequential anyway, and document order is
+what makes reading back write_graphml's own n0..n{k} output
+identity-preserving for ≥10 vertices, where lexicographic sort would
+permute ('n10' < 'n2'). LGL labels mint by NATURAL SORT (digit runs
+compare numerically) because neighbor lines mention names before
+later '#' headers, so first appearance would permute write_lgl's own
+numeric labels. The distributed ncol reader keeps its documented
+sorted-name deviation (readers.py).
 """
 
 from __future__ import annotations
@@ -30,14 +37,22 @@ from __future__ import annotations
 import os
 import re
 import xml.etree.ElementTree as ET
-from xml.sax.saxutils import escape
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from xdata_igraph_spark.graph import LinkGraph
 
 MAX_TEXT_BYTES = 256 * 1024 * 1024
+
+_NAT_SPLIT = re.compile(r"(\d+)")
+
+
+def _natural_key(name: str) -> tuple:
+    """Sort key treating digit runs as numbers ('2' before '10')."""
+    return tuple(
+        (1, int(part)) if part.isdigit() else (0, part)
+        for part in _NAT_SPLIT.split(name)
+    )
 
 
 def _slurp(path: str) -> str:
@@ -178,7 +193,13 @@ def read_gml(spark: SparkSession, path: str) -> LinkGraph:
             d = dict(v)
             w = float(d.get("value", d.get("weight", 1.0)))
             raw_edges.append((int(d["source"]), int(d["target"]), w))
-    remap = {gid: i for i, gid in enumerate(sorted(set(ids)))}
+    # edge endpoints with no node block get vertices implicitly, like
+    # the reference's GML reader (was a bare KeyError)
+    domain = set(ids)
+    for s, t, _w in raw_edges:
+        domain.add(s)
+        domain.add(t)
+    remap = {gid: i for i, gid in enumerate(sorted(domain))}
     rows = [(remap[s], remap[t], w) for s, t, w in raw_edges]
     return LinkGraph(_edges_df(spark, rows), directed=directed, n=len(remap))
 
@@ -224,15 +245,25 @@ def read_graphml(spark: SparkSession, path: str) -> tuple[LinkGraph, DataFrame]:
     if gelem is None:
         raise ValueError("no <graph> element in GraphML input")
     directed = gelem.get("edgedefault", "undirected") == "directed"
-    names = sorted(nd.get("id") for nd in gelem.iter(tag("node")))
-    remap = {nm: i for i, nm in enumerate(names)}
+    # number symbols by first appearance (document order), matching the
+    # reference — lexicographic sort permuted identity on round-trips
+    # with write_graphml's n0..n{k} names once the graph had ≥10 nodes
+    remap: dict[str, int] = {}
+    for nd in gelem.iter(tag("node")):
+        nm = nd.get("id")
+        if nm not in remap:
+            remap[nm] = len(remap)
     rows = []
     for e in gelem.iter(tag("edge")):
         w = 1.0
         for d in e.iter(tag("data")):
             if d.get("key") in weight_keys and d.text:
                 w = float(d.text)
+        for ep in (e.get("source"), e.get("target")):
+            if ep not in remap:
+                remap[ep] = len(remap)
         rows.append((remap[e.get("source")], remap[e.get("target")], w))
+    names = list(remap)
     g = LinkGraph(_edges_df(spark, rows), directed=directed, n=len(names))
     ndf = spark.createDataFrame(
         [(i, nm) for nm, i in remap.items()], "id long, name string"
@@ -270,6 +301,11 @@ def read_lgl(
     """LGL → (graph, names): ``# vertex`` header lines, each followed by
     its neighbor lines (optionally weighted)."""
     cur = None
+    # natural-sort numbering: digit runs compare numerically, so
+    # write_lgl's default numeric labels round-trip identically at any
+    # size (plain lexicographic put '10' before '2'; first-appearance
+    # does not work here because neighbor lines mint names before
+    # later '#' headers)
     name_rows: set[str] = set()
     rows: list[tuple[str, str, float]] = []
     for raw in _slurp(path).splitlines():
@@ -286,7 +322,7 @@ def read_lgl(
         w = float(parts[1]) if len(parts) > 1 else 1.0
         name_rows.add(parts[0])
         rows.append((cur, parts[0], w))
-    remap = {nm: i for i, nm in enumerate(sorted(name_rows))}
+    remap = {nm: i for i, nm in enumerate(sorted(name_rows, key=_natural_key))}
     erows = [(remap[a], remap[b], w) for a, b, w in rows]
     g = LinkGraph(_edges_df(spark, erows), directed=directed, n=len(remap))
     ndf = spark.createDataFrame(
@@ -360,10 +396,17 @@ def write_dimacs(graph: LinkGraph, path: str, source: int, target: int) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _dot_escape(s: str) -> str:
+    """DOT quoted-string escaping: backslash-escape backslashes and
+    double quotes (XML entity escaping rendered literally in DOT and
+    left '\"' unescaped — invalid output)."""
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
 def write_dot(graph: LinkGraph, path: str, names: DataFrame | None = None) -> None:
     lab = {}
     if names is not None:
-        lab = {r[0]: escape(str(r[1])) for r in names.collect()}
+        lab = {r[0]: _dot_escape(str(r[1])) for r in names.collect()}
     arrow = "->" if graph.directed else "--"
     with open(path, "w", encoding="utf-8") as f:
         f.write(("digraph" if graph.directed else "graph") + " G {\n")
