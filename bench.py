@@ -112,7 +112,17 @@ def main() -> None:
 
     from xdata_igraph_spark.operators.lpa import label_propagation
 
-    timed("lpa_5sweeps", lambda: label_propagation(g, max_sweeps=5).count())
+    # damping="half": bounded-sweep runs shrink monotonically toward a
+    # labeling instead of snapshotting mid-oscillation (r3 ended with
+    # 9686 labels still flipping)
+    lpa_runner = SuperstepRunner(spark, "bench_lpa")
+    timed(
+        "lpa_5sweeps",
+        lambda: label_propagation(
+            g, max_sweeps=5, damping="half", runner=lpa_runner
+        ).count(),
+    )
+    extra["lpa_changed_per_sweep"] = [h.delta for h in lpa_runner.history]
 
     from xdata_igraph_spark.operators.scan_stats import scan1
 

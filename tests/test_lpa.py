@@ -126,3 +126,28 @@ def test_modularity_singletons_negative(spark):
     mem = spark.createDataFrame([(i, i) for i in range(3)], "id long, c long")
     # all-singleton partition of a triangle: Q = -Σ(d_i/2m)² = -1/3
     assert abs(modularity(g, mem) - (-1.0 / 3.0)) < 1e-9
+
+
+def test_bipartite_oscillation_vs_half_damping(spark):
+    """Complete bipartite K_{3,3} with side-constant initial labels is
+    the documented synchronous 2-cycle: every vertex's neighbors all
+    carry the other side's label, so undamped sweeps swap the sides
+    forever. damping='half' must converge to one label instead."""
+    import warnings
+
+    edges = [(a, b) for a in range(3) for b in range(3, 6)]
+    g = LinkGraph.from_pairs(spark, edges, directed=False, n=6)
+    init = _initial_df(spark, [0, 0, 0, 1, 1, 1])
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        label_propagation(g, initial=init, weighted=False, max_sweeps=9)
+        assert any("max_sweeps" in str(w.message) for w in caught)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        m = label_propagation(
+            g, initial=init, weighted=False, max_sweeps=20, damping="half"
+        )
+        assert not any("max_sweeps" in str(w.message) for w in caught)
+    assert len(set(_membership(m, 6))) == 1

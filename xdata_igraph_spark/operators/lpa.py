@@ -53,13 +53,23 @@ def label_propagation(
     max_sweeps: int = 50,
     runner: SuperstepRunner | None = None,
     bucket_edges: bool = False,
+    damping: str = "none",
 ) -> DataFrame:
     """Communities → (id: long, label: long), labels dense 0..k-1 by
     first appearance in vertex-id order.
 
     ``initial``: (id, label) with label NULL or <0 meaning unlabeled.
     ``fixed``: (id) set of vertices whose label never changes.
+    ``damping``: "none" = every vertex updates each sweep (classic
+    synchronous LPA — can 2-cycle forever on bipartite structure);
+    "half" = only a seeded-hash half of the vertices may CHANGE label
+    per sweep, the split redrawn every other sweep (louvain.py's
+    oscillation breaker) — bounded-sweep runs land on a meaningful
+    labeling instead of a mid-oscillation snapshot. First-time label
+    adoption (NULL → label) is never damped.
     """
+    if damping not in ("none", "half"):
+        raise ValueError(f"damping must be 'none' or 'half', got {damping!r}")
     spark = graph.spark
     runner = runner or SuperstepRunner(spark, "lpa")
 
@@ -103,6 +113,7 @@ def label_propagation(
     else:
         labels = labels.withColumn("fixed", F.lit(False))
 
+    zero_streak = 0
     for sweep in range(max_sweeps):
         # neighbor label weight histogram per updating vertex
         hist = (
@@ -132,6 +143,17 @@ def label_propagation(
             "dom_label",
             (F.col("dom_w") > F.coalesce("cur_w", F.lit(0.0))).alias("improves"),
         )
+        eligible = (
+            F.lit(True)
+            if damping == "none"
+            else (
+                # half-split redrawn every other sweep; NULL-label
+                # vertices always adopt
+                (F.pmod(F.xxhash64(F.col("id"), F.lit(sweep // 2)), F.lit(2))
+                 == F.lit(sweep % 2))
+                | F.col("label").isNull()
+            )
+        )
         new_labels = labels.join(upd, labels.id == upd.dst, "left").select(
             "id",
             "fixed",
@@ -139,7 +161,8 @@ def label_propagation(
             F.when(
                 (~F.col("fixed"))
                 & F.col("dom_label").isNotNull()
-                & (F.col("improves") | F.col("label").isNull()),
+                & (F.col("improves") | F.col("label").isNull())
+                & eligible,
                 F.col("dom_label"),
             )
             .otherwise(F.col("label"))
@@ -154,8 +177,16 @@ def label_propagation(
         ).count()
         runner.finish_iteration(sweep, float(changed))
         labels = new_labels.drop("_old")
-        if changed == 0:
-            break
+        if damping == "none":
+            if changed == 0:
+                break
+        else:
+            # fixpoint only after a full SAME-SEED parity cycle with no
+            # move (sweeps 2k/2k+1 share a hash draw; a quiet pair that
+            # straddles two draws leaves ~25% of vertices untested)
+            zero_streak = zero_streak + 1 if changed == 0 else 0
+            if zero_streak >= 2 and sweep % 2 == 1:
+                break
     else:
         # synchronous LPA can 2-cycle on bipartite structures; hitting
         # the sweep cap is a documented stop, but say so (ADVICE r1)
