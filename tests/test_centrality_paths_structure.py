@@ -209,3 +209,41 @@ def test_permute_roundtrip(spark):
     )
     rt = permute_vertices(pg, back)
     assert {(r["src"], r["dst"]) for r in rt.edges.collect()} == set(edges)
+
+
+def test_neighborhood_members_ring(spark):
+    from xdata_igraph_spark.operators.structure import neighborhood
+
+    g = G.ring(spark, 10)
+    m1 = {r["id"]: r["members"] for r in neighborhood(g, 1).collect()}
+    assert m1[0] == [0, 1, 9]
+    assert m1[5] == [4, 5, 6]
+    m2 = {r["id"]: r["members"] for r in neighborhood(g, 2, mindist=1).collect()}
+    assert m2[0] == [1, 2, 8, 9]
+
+
+def test_neighborhood_members_directed_modes(spark):
+    from xdata_igraph_spark.operators.structure import neighborhood
+
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2), (3, 0)], directed=True)
+    out1 = {r["id"]: r["members"] for r in neighborhood(g, 1, mode="out").collect()}
+    assert out1[0] == [0, 1] and out1[2] == [2] and out1[3] == [0, 3]
+    in1 = {r["id"]: r["members"] for r in neighborhood(g, 1, mode="in").collect()}
+    assert in1[0] == [0, 3] and in1[1] == [0, 1]
+
+
+def test_neighborhood_graphs_triangle_plus_tail(spark):
+    from xdata_igraph_spark.operators.structure import neighborhood_graphs
+
+    # triangle 0-1-2 plus tail 2-3
+    g = LinkGraph.from_pairs(spark, [(0, 1), (1, 2), (2, 0), (2, 3)], directed=False)
+    rows = neighborhood_graphs(g, 1).collect()
+    per_ego = {}
+    for r in rows:
+        per_ego.setdefault(r["ego"], set()).add((r["src"], r["dst"]))
+    # ego 0's 1-hop = {0,1,2}: all three triangle edges, not the tail
+    assert per_ego[0] == {(0, 1), (1, 2), (2, 0)}
+    # ego 3's 1-hop = {2,3}: only the tail edge
+    assert per_ego[3] == {(2, 3)}
+    # ego 2 sees everything
+    assert per_ego[2] == {(0, 1), (1, 2), (2, 0), (2, 3)}

@@ -13,20 +13,11 @@ from pyspark.sql import functions as F
 from xdata_igraph_spark.graph import LinkGraph
 
 
-def neighborhood_size(
-    graph: LinkGraph, order: int = 1, mode: str = "all", mindist: int = 0
-) -> DataFrame:
-    """Vertices within ``order`` hops → (id, size)
-    (igraph_neighborhood_size, /root/reference/src/
-    structural_properties.c:2806): counts vertices at distance
-    mindist..order from each vertex (the vertex itself included when
-    mindist=0).
-
-    Implementation: k rounds of frontier expansion over the cached
-    adjacency — the reached set is (id, nbr, dist) with dist = first
-    hop at which nbr was seen (BFS layering), so each round joins only
-    the newest frontier, not the whole reached set.
-    """
+def _khop_reached(graph: LinkGraph, order: int, mode: str) -> DataFrame:
+    """(id, nbr, dist) — every vertex ``nbr`` within ``order`` hops of
+    ``id``, with dist = the FIRST hop at which nbr was seen (BFS
+    layering), so each expansion round joins only the newest frontier,
+    not the whole reached set."""
     if order < 0:
         raise ValueError("order must be >= 0")
     adj = (
@@ -55,13 +46,76 @@ def neighborhood_size(
             break
         reached = reached.unionByName(nxt).localCheckpointFlat(eager=True)
         frontier = nxt
+    return reached
+
+
+def neighborhood_size(
+    graph: LinkGraph, order: int = 1, mode: str = "all", mindist: int = 0
+) -> DataFrame:
+    """Vertices within ``order`` hops → (id, size)
+    (igraph_neighborhood_size, /root/reference/src/
+    structural_properties.c:2806): counts vertices at distance
+    mindist..order from each vertex (the vertex itself included when
+    mindist=0)."""
+    reached = _khop_reached(graph, order, mode)
     counted = (
         reached.filter(F.col("dist") >= mindist)
         .groupBy("id")
         .agg(F.count("*").alias("size"))
     )
-    return verts.join(counted, "id", "left").select(
+    return graph.vertices().join(counted, "id", "left").select(
         "id", F.coalesce("size", F.lit(0)).cast("long").alias("size")
+    )
+
+
+def neighborhood(
+    graph: LinkGraph, order: int = 1, mode: str = "all", mindist: int = 0
+) -> DataFrame:
+    """k-hop member lists → (id, members: array<long> ascending)
+    (igraph_neighborhood, /root/reference/src/
+    structural_properties.c:2928): the vertices at distance
+    mindist..order from each vertex, the vertex itself first when
+    mindist=0 (igraph lists the seed first; ascending sort puts the
+    seed first too since every BFS stays within one id space — the
+    array is canonical-sorted for order-insensitive comparison).
+
+    Scale note: output rows = Σ|N_k(v)| — on small-world graphs this
+    grows sharply with order; it is the same bound neighborhood_size
+    pays, just with the members materialized.
+    """
+    reached = _khop_reached(graph, order, mode)
+    members = (
+        reached.filter(F.col("dist") >= mindist)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("nbr")).alias("members"))
+    )
+    return graph.vertices().join(members, "id", "left").select(
+        "id",
+        F.coalesce("members", F.array().cast("array<bigint>")).alias("members"),
+    )
+
+
+def neighborhood_graphs(
+    graph: LinkGraph, order: int = 1, mode: str = "all", mindist: int = 0
+) -> DataFrame:
+    """Induced ego-subgraph edges → (ego, src, dst, weight)
+    (igraph_neighborhood_graphs, /root/reference/src/
+    structural_properties.c:3067): for each vertex, the edges of the
+    subgraph induced by its mindist..order neighborhood (original
+    vertex ids, original edge multiplicity/weights; the reference
+    returns one igraph per vertex — the relational form keys the union
+    of those graphs by ego).
+
+    Plan: membership set M = (ego, v), then edges ⋈ M on src ⋈ M on
+    dst for the same ego — output ∝ Σ|E(N_k(v))|, the inherent
+    ego-graph volume."""
+    reached = _khop_reached(graph, order, mode).filter(F.col("dist") >= mindist)
+    m_src = reached.select(F.col("id").alias("ego"), F.col("nbr").alias("src"))
+    m_dst = reached.select(F.col("id").alias("ego"), F.col("nbr").alias("dst"))
+    return (
+        graph.edges.join(m_src, "src")
+        .join(m_dst, ["ego", "dst"])
+        .select("ego", "src", "dst", "weight")
     )
 
 
