@@ -128,3 +128,70 @@ def test_watts_strogatz(spark):
     g1 = G.watts_strogatz(spark, 200, nei=2, p=0.3, seed=9)
     assert g1.ecount() == 400  # rewiring preserves edge count
     assert edge_set(g1) != edge_set(G.watts_strogatz(spark, 200, nei=2, p=0.0))
+
+
+def test_grg_matches_bruteforce(spark):
+    from xdata_igraph_spark.sources.generators import grg
+
+    for torus in (False, True):
+        g, pts = grg(spark, 250, 0.09, torus=torus, seed=5)
+        xy = {r["id"]: (r["x"], r["y"]) for r in pts.collect()}
+        want = set()
+        for a in range(250):
+            for b in range(a + 1, 250):
+                dx = abs(xy[a][0] - xy[b][0])
+                dy = abs(xy[a][1] - xy[b][1])
+                if torus:
+                    dx = 1 - dx if dx > 0.5 else dx
+                    dy = 1 - dy if dy > 0.5 else dy
+                if dx * dx + dy * dy < 0.09 * 0.09:
+                    want.add((a, b))
+        got = {(r["src"], r["dst"]) for r in g.edges.collect()}
+        assert got == want, f"torus={torus}"
+        assert len(want) > 0
+
+
+def test_k_regular_game(spark):
+    from xdata_igraph_spark.sources.generators import k_regular_game
+
+    g = k_regular_game(spark, 20, 3, seed=3)
+    degs = {r["id"]: r["degree"] for r in g.degrees("all").collect()}
+    assert len(degs) == 20 and all(v == 3 for v in degs.values())
+    assert g.is_simple()
+    with pytest.raises(ValueError, match="even"):
+        k_regular_game(spark, 5, 3)
+
+
+def test_static_power_law(spark):
+    from xdata_igraph_spark.sources.generators import static_power_law
+
+    g = static_power_law(spark, 120, 260, 2.5, seed=9)
+    assert not g.directed
+    assert g.vcount() == 120 and g.ecount() == 260
+    assert g.is_simple()
+    # heavy-tail sanity: max degree well above the mean
+    md = g.maxdegree()
+    assert md >= 3 * (2 * 260 / 120)
+
+    gd = static_power_law(spark, 120, 260, 2.5, exponent_in=2.2, seed=9)
+    assert gd.directed and gd.ecount() == 260
+    with pytest.raises(ValueError, match="exponent"):
+        static_power_law(spark, 10, 5, 1.5)
+
+
+def test_interconnected_islands(spark):
+    from xdata_igraph_spark.sources.generators import interconnected_islands
+
+    g = interconnected_islands(spark, 3, 8, 0.9, 2, seed=4)
+    assert g.vcount() == 24
+    rows = g.edges.collect()
+    inter = [(r["src"], r["dst"]) for r in rows if r["src"] // 8 != r["dst"] // 8]
+    intra = [(r["src"], r["dst"]) for r in rows if r["src"] // 8 == r["dst"] // 8]
+    # each of the 3 island pairs gets ≤ n_inter (collapsing dups) and ≥ 1 edges
+    from collections import Counter
+
+    per_pair = Counter((min(a // 8, b // 8), max(a // 8, b // 8)) for a, b in inter)
+    assert set(per_pair) == {(0, 1), (0, 2), (1, 2)}
+    assert all(1 <= v <= 2 for v in per_pair.values())
+    # pin=0.9 on C(8,2)=28 pairs per island: expect dense islands
+    assert len(intra) > 3 * 28 * 0.6

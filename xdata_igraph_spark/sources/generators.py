@@ -43,6 +43,10 @@ __all__ = [
     "barabasi",
     "watts_strogatz",
     "degree_sequence_game",
+    "grg",
+    "k_regular_game",
+    "static_power_law",
+    "interconnected_islands",
     "from_adjacency",
     "from_weighted_adjacency",
 ]
@@ -766,3 +770,243 @@ def from_weighted_adjacency(
         F.col("i").alias("src"), F.col("j").alias("dst"), F.col("w").alias("weight")
     )
     return LinkGraph(edges, directed=directed, n=n)
+
+
+def grg(
+    spark: SparkSession,
+    n: int,
+    radius: float,
+    torus: bool = False,
+    seed: int = 42,
+) -> tuple[LinkGraph, DataFrame]:
+    """Geometric random graph (igraph_grg_game,
+    /root/reference/src/games.c:1971): n points uniform in the unit
+    square, undirected edge wherever squared distance < radius²
+    (strict, like the reference); ``torus`` wraps both axes.
+
+    Returns (graph, points (id, x, y)) — the reference optionally
+    returns the coordinates too.
+
+    Scale plan: grid-bucketed spatial join. Cell width ≥ radius, each
+    point probes its 3×3 cell neighborhood, so candidate pairs ∝
+    points-per-cell² summed over cells — never n². Coordinates are
+    md5-derived uniforms (portable: DuckDB computes identical values,
+    making the generator oracle-checkable end-to-end).
+    """
+    if not 0 < radius:
+        raise ValueError("radius must be positive")
+    ncells = max(1, int(math.floor(1.0 / radius)))
+    cw = 1.0 / ncells
+
+    def unif(tag: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{tag}|{seed}|"), F.col("id"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            / float(1 << 32)
+        )
+
+    pts = spark.range(n).select(
+        "id", unif("x").alias("x"), unif("y").alias("y")
+    ).localCheckpointFlat(eager=True)
+    cell = lambda c: F.floor(c / cw).cast("int")
+    base = pts.select(
+        F.col("id").alias("b"), F.col("x").alias("bx"), F.col("y").alias("by"),
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    if torus:
+        probe_cells = F.array(
+            *[
+                F.struct(
+                    F.pmod(cell(F.col("x")) + dx, F.lit(ncells)).alias("cx"),
+                    F.pmod(cell(F.col("y")) + dy, F.lit(ncells)).alias("cy"),
+                )
+                for dx, dy in offs
+            ]
+        )
+    else:
+        probe_cells = F.array(
+            *[
+                F.struct(
+                    (cell(F.col("x")) + dx).alias("cx"),
+                    (cell(F.col("y")) + dy).alias("cy"),
+                )
+                for dx, dy in offs
+            ]
+        )
+    probes = pts.select(
+        F.col("id").alias("a"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.explode(F.array_distinct(probe_cells)).alias("c"),
+    ).select("a", "ax", "ay", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    cand = probes.join(base, ["cx", "cy"]).filter(F.col("a") < F.col("b"))
+    if torus:
+        dx0 = F.abs(F.col("ax") - F.col("bx"))
+        dy0 = F.abs(F.col("ay") - F.col("by"))
+        dx = F.when(dx0 > 0.5, 1.0 - dx0).otherwise(dx0)
+        dy = F.when(dy0 > 0.5, 1.0 - dy0).otherwise(dy0)
+    else:
+        dx = F.col("ax") - F.col("bx")
+        dy = F.col("ay") - F.col("by")
+    e = cand.filter(dx * dx + dy * dy < F.lit(radius * radius)).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    return _graph(e, directed=False, n=n), pts
+
+
+def k_regular_game(
+    spark: SparkSession,
+    n: int,
+    k: int,
+    multiple: bool = False,
+    seed: int = 42,
+    max_attempts: int = 50,
+) -> LinkGraph:
+    """Random k-regular graph (igraph_k_regular_game,
+    /root/reference/src/games.c:3800): degree_sequence_game with an
+    all-k sequence. ``multiple=True`` = the reference's SIMPLE method
+    (one stub pairing, loops/multi-edges possible); ``multiple=False``
+    = SIMPLE_NO_MULTIPLE (resample until simple — each attempt redraws
+    the whole pairing with a derived seed)."""
+    if n < 0 or k < 0:
+        raise ValueError("n and k must be non-negative")
+    if (n * k) % 2 != 0:
+        raise ValueError("n*k must be even for a k-regular graph")
+    degs = [k] * n
+    g = degree_sequence_game(spark, degs, seed=seed)
+    if multiple:
+        return g
+    for attempt in range(max_attempts):
+        if g.is_simple():
+            return g
+        g = degree_sequence_game(spark, degs, seed=seed + 7919 * (attempt + 1))
+    raise RuntimeError(
+        f"no simple {k}-regular pairing found in {max_attempts} attempts "
+        "(dense k relative to n; raise max_attempts)"
+    )
+
+
+def static_power_law(
+    spark: SparkSession,
+    n: int,
+    m: int,
+    exponent_out: float,
+    exponent_in: float = -1.0,
+    loops: bool = False,
+    multiple: bool = False,
+    finite_size_correction: bool = False,
+    seed: int = 42,
+) -> LinkGraph:
+    """Static power-law fitness game (igraph_static_power_law_game,
+    /root/reference/src/games.c:3656): fitness of vertex i is
+    (n-i+corr)^(−1/(γ−1)); m edges sampled with endpoint probability ∝
+    fitness (igraph_static_fitness_game, games.c:3470). exponent_in <
+    0 → undirected, else directed with separately-exponented (and
+    shuffled, like the reference) in-fitness.
+
+    Weighted sampling is inherently a sequential-CDF draw; like
+    ``barabasi`` (the documented precedent) the draw runs driver-side
+    in numpy at fixture scale — the reference's own uses are test and
+    benchmark fixtures. The result loads into a distributed edge
+    table."""
+    import numpy as np
+
+    if exponent_out < 2:
+        raise ValueError("out-degree exponent must be >= 2")
+    if 0 <= exponent_in < 2:
+        raise ValueError("in-degree exponent must be >= 2 (negative = undirected)")
+    directed = exponent_in >= 0
+
+    def fitness(expo: float) -> "np.ndarray":
+        alpha = -1.0 / (expo - 1) if math.isfinite(expo) else 0.0
+        j0 = float(n)
+        if finite_size_correction and alpha < -0.5:
+            j0 += n ** (1 + 0.5 / alpha) * (10 * math.sqrt(2) * (1 + alpha)) ** (
+                -1.0 / alpha
+            ) - 1
+        j0 = max(j0, float(n))
+        return np.power(j0 - np.arange(n), alpha)
+
+    rng = np.random.default_rng(seed)
+    w_out = fitness(exponent_out)
+    p_out = w_out / w_out.sum()
+    if directed:
+        w_in = fitness(exponent_in)
+        rng.shuffle(w_in)  # decorrelate in/out, as the reference does
+        p_in = w_in / w_in.sum()
+    seen: set[tuple[int, int]] = set()
+    edges: list[tuple[int, int]] = []
+    guard = 0
+    while len(edges) < m:
+        guard += 1
+        if guard > 100 * m + 1000:
+            raise RuntimeError("edge sampling rejection loop stalled")
+        a = int(rng.choice(n, p=p_out))
+        b = int(rng.choice(n, p=p_in if directed else p_out))
+        if not loops and a == b:
+            continue
+        key = (a, b) if directed else (min(a, b), max(a, b))
+        if not multiple and key in seen:
+            continue
+        seen.add(key)
+        edges.append(key)
+    return LinkGraph.from_pairs(spark, edges, directed=directed, n=n)
+
+
+def interconnected_islands(
+    spark: SparkSession,
+    islands_n: int,
+    islands_size: int,
+    islands_pin: float,
+    n_inter: int,
+    seed: int = 42,
+) -> LinkGraph:
+    """Interconnected islands (igraph_simple_interconnected_islands_game,
+    /root/reference/src/games.c:3308): islands_n islands of
+    islands_size vertices; within an island each pair is an edge with
+    probability islands_pin; every ORDERED pair of islands gets
+    n_inter random inter-island edges (the reference draws endpoints
+    uniformly, so coincidental duplicates collapse — it builds a
+    simple graph; same here via distinct).
+
+    Fully distributed: intra edges are a hash coin over within-island
+    pairs (quadratic only in islands_size, like the reference's
+    geometric skip sampling); inter edges are seeded-hash endpoint
+    draws per (island-pair, j) row."""
+    if islands_n < 0 or islands_size < 0:
+        raise ValueError("invalid island count/size")
+    if not 0 <= islands_pin <= 1:
+        raise ValueError("invalid intra-island probability")
+    if n_inter < 0 or n_inter > islands_size:
+        raise ValueError("invalid number of inter-island links")
+    n = islands_n * islands_size
+    # intra: all within-island pairs, hash coin
+    v = spark.range(n).select(
+        F.col("id").alias("src"), (F.col("id") / islands_size).cast("long").alias("isl")
+    )
+    u = spark.range(n).select(
+        F.col("id").alias("dst"), (F.col("id") / islands_size).cast("long").alias("isl")
+    )
+    pairs = v.join(u, "isl").filter(F.col("src") < F.col("dst"))
+    coin = (
+        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1 << 31)) / float(1 << 31)
+    )
+    intra = pairs.filter(coin < islands_pin).select("src", "dst")
+    # inter: n_inter seeded draws for each unordered island pair
+    ia = spark.range(islands_n).select(F.col("id").alias("i1"))
+    ib = spark.range(islands_n).select(F.col("id").alias("i2"))
+    ipairs = ia.crossJoin(ib).filter(F.col("i1") < F.col("i2"))
+    draws = ipairs.select(
+        "i1", "i2", F.explode(F.sequence(F.lit(1), F.lit(n_inter))).alias("j")
+    )
+    pick = lambda tag, isl: (
+        isl * islands_size
+        + F.pmod(F.xxhash64("i1", "i2", "j", F.lit(f"{tag}{seed}")), F.lit(islands_size))
+    )
+    inter = draws.select(
+        pick("s", F.col("i1")).alias("src"), pick("d", F.col("i2")).alias("dst")
+    )
+    e = intra.unionByName(inter).distinct()
+    return _graph(e, directed=False, n=n)
