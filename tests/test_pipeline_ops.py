@@ -264,3 +264,30 @@ def test_dice_and_invlog_vs_oracle(spark):
         if nbrs[a] & nbrs[b]
     }
     assert set(sim) == expect_pairs
+
+
+def test_ngram_jaccard_pairs_restricted_and_pipeline(spark, docs):
+    from xdata_igraph_spark.operators.dedup import lsh_verified_pairs
+
+    # verify-stage mode returns exactly the requested pairs' jaccard
+    cand = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, pairs=cand).collect()
+    }
+    full = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (0, 3)}
+    assert got[(0, 1)] == pytest.approx(full[(0, 1)])
+    assert got[(0, 3)] == pytest.approx(1.0)
+    assert got[(0, 2)] == 0.0  # no shared shingle → explicit zero
+
+    # LSH → verify pipeline finds the exact dup and the near dup
+    verified = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in lsh_verified_pairs(docs, threshold=0.3).collect()
+    }
+    assert (0, 3) in verified and verified[(0, 3)] == pytest.approx(1.0)
+    assert all(j >= 0.3 for j in verified.values())

@@ -126,26 +126,55 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(a, b, jaccard) for pairs with shingle-set Jaccard ≥ threshold —
-    exact similarity via explode + equi-join on shingle."""
+    exact similarity over word-shingle sets.
+
+    Two modes:
+
+    - ``pairs=None`` (standalone): explode + equi-join on shingle over
+      ALL documents. TEST-SCALE ONLY — one hot (stopword-like) shingle
+      fans the join out quadratically; at corpus scale a skewed
+      shingle is a guaranteed straggler.
+    - ``pairs=(a, b)`` (verify stage): compute exact Jaccard for
+      exactly the given candidate pairs — the production shape, fed by
+      minhash_lsh_candidates. Cost ∝ Σ over pairs of shingle-set
+      sizes, independent of shingle skew; candidates that share no
+      shingle come back with jaccard 0 before thresholding.
+    """
     sh = (
         docs.select("doc_id", F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    t1 = sh.select(F.col("doc_id").alias("a"), "sh")
-    t2 = sh.select(F.col("doc_id").alias("b"), "sh")
-    common = (
-        t1.join(t2, "sh")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    if pairs is None:
+        t1 = sh.select(F.col("doc_id").alias("a"), "sh")
+        t2 = sh.select(F.col("doc_id").alias("b"), "sh")
+        common = (
+            t1.join(t2, "sh")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        base = common
+    else:
+        cand = pairs.select("a", "b").distinct()
+        a_sh = sh.select(F.col("doc_id").alias("a"), "sh")
+        b_sh = sh.select(F.col("doc_id").alias("b"), "sh")
+        common = (
+            cand.join(a_sh, "a")
+            .join(b_sh, ["b", "sh"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        base = cand.join(common, ["a", "b"], "left").select(
+            "a", "b", F.coalesce("n_common", F.lit(0)).alias("n_common")
+        )
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"))
     return (
-        common.join(sa, "a")
+        base.join(sa, "a")
         .join(sb, "b")
         .select(
             "a",
@@ -156,6 +185,25 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard) — the production near-dup pipeline: MinHash-LSH
+    candidate generation followed by exact shingle-Jaccard
+    verification restricted to the candidates. Both stages are
+    bucketed joins; nothing is all-pairs and nothing joins on a raw
+    (skewable) shingle key across the whole corpus."""
+    cand = minhash_lsh_candidates(docs, text_col, num_hashes, bands, shingle_n)
+    return ngram_jaccard_pairs(
+        docs, text_col, shingle_n, threshold=threshold, pairs=cand
     )
 
 
