@@ -1015,3 +1015,44 @@ def test_cliques_level_guard_raises_on_dense_blowup(spark):
     )
     with pytest.raises(ValueError, match="max_level_rows"):
         cliques(g, min_size=2, max_level_rows=30).collect()
+
+
+def test_connectivity_famous_values(spark):
+    """Reference test style (tests/flow*.at): known κ/λ on named graphs."""
+    from xdata_igraph_spark.operators.flow import (
+        edge_connectivity,
+        mincut_value,
+        vertex_connectivity,
+    )
+    from xdata_igraph_spark.sources.generators import famous, full, ring
+
+    pet = famous(spark, "petersen")
+    assert vertex_connectivity(pet) == 3
+    assert edge_connectivity(pet) == 3
+
+    r6 = ring(spark, 6)
+    assert vertex_connectivity(r6) == 2
+    assert edge_connectivity(r6) == 2
+
+    k5 = full(spark, 5)
+    assert vertex_connectivity(k5) == 4
+    assert edge_connectivity(k5) == 4
+
+    # path 0-1-2: cut vertex 1 / bridge edges
+    p3 = LinkGraph.from_pairs(spark, [(0, 1), (1, 2)], directed=False, n=3)
+    assert vertex_connectivity(p3) == 1
+    assert edge_connectivity(p3) == 1
+
+    # weighted global mincut: dumbbell with a light bridge
+    rows = [(0, 1, 5.0), (1, 2, 5.0), (2, 0, 5.0),
+            (3, 4, 5.0), (4, 5, 5.0), (5, 3, 5.0), (0, 3, 2.0)]
+    g = LinkGraph(
+        spark.createDataFrame(rows, "src long, dst long, weight double"),
+        directed=False, n=6,
+    )
+    assert mincut_value(g) == pytest.approx(2.0)
+
+    # disconnected → 0
+    d = LinkGraph.from_pairs(spark, [(0, 1), (2, 3)], directed=False, n=4)
+    assert edge_connectivity(d) == 0
+    assert vertex_connectivity(d) == 0

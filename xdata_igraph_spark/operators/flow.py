@@ -60,16 +60,16 @@ def st_mincut(
     return value, p1, ce
 
 
-def _edmonds_karp(
-    graph: LinkGraph, source: int, target: int, capacity_col: str, max_edges: int
-):
+def _collect_network(graph: LinkGraph, capacity_col: str, max_edges: int):
+    """One guarded scan → (cap, adj) residual-network dicts, reusable
+    across many s-t solves (the connectivity loops below run |V|-ish
+    maxflows over the same network)."""
     m = graph.ecount()
     if m > max_edges:
         raise ValueError(
             f"maxflow is sequential by definition (push-relabel in the "
             f"reference); refusing |E|={m} > {max_edges}"
         )
-    s, t = int(source), int(target)
     rows = graph.edges.select(
         "src", "dst", F.col(capacity_col).cast("double").alias("cap")
     ).collect()
@@ -84,6 +84,11 @@ def _edmonds_karp(
         adj[v].add(u)  # residual arc
         if not graph.directed:
             cap[(v, u)] += c
+    return cap, adj
+
+
+def _ek_solve(cap, adj, s: int, t: int):
+    """Edmonds–Karp on prepared (cap, adj) → (value, side1, cut)."""
     flow: dict[tuple[int, int], float] = defaultdict(float)
 
     def residual(u, v):
@@ -129,3 +134,121 @@ def _edmonds_karp(
         if c > 0 and u in side1 and v not in side1
     ]
     return total, side1, cut
+
+
+def _edmonds_karp(
+    graph: LinkGraph, source: int, target: int, capacity_col: str, max_edges: int
+):
+    cap, adj = _collect_network(graph, capacity_col, max_edges)
+    return _ek_solve(cap, adj, int(source), int(target))
+
+
+def mincut_value(
+    graph: LinkGraph,
+    capacity_col: str = "weight",
+    max_edges: int = 5_000_000,
+) -> float:
+    """Global minimum cut value (igraph_mincut_value,
+    /root/reference/src/flow.c:1568). Any global cut separates vertex
+    v0 from SOME other vertex, so the minimum over maxflow(v0, t) for
+    all t (both directions when directed — the reference does the same
+    two sweeps) is the global minimum; the network is collected once
+    and the |V|-1 (or 2|V|-2) solves run on it in memory.
+
+    Returns inf for graphs with < 2 vertices (nothing to cut), 0 for
+    disconnected inputs (via the flow itself)."""
+    cap, adj = _collect_network(graph, capacity_col, max_edges)
+    ids = sorted(
+        {v for v, _ in cap} | {v for _, v in cap}
+        | {r["id"] for r in graph.vertices().collect()}
+    )
+    if len(ids) < 2:
+        return float("inf")
+    v0 = ids[0]
+    best = float("inf")
+    for t in ids[1:]:
+        best = min(best, _ek_solve(cap, adj, v0, t)[0])
+        if graph.directed:
+            best = min(best, _ek_solve(cap, adj, t, v0)[0])
+        if best == 0.0:
+            break
+    return best
+
+
+def edge_connectivity(
+    graph: LinkGraph,
+    max_edges: int = 5_000_000,
+) -> int:
+    """Edge connectivity λ (igraph_edge_connectivity,
+    /root/reference/src/flow.c:2103): the global mincut with unit
+    capacities — minimum number of edges whose removal disconnects the
+    graph (strong-disconnects, when directed)."""
+    unit = LinkGraph(
+        graph.edges.select("src", "dst").withColumn("weight", F.lit(1.0)),
+        directed=graph.directed,
+        n=graph.vcount(),
+    )
+    val = mincut_value(unit, max_edges=max_edges)
+    return 0 if val == float("inf") else int(round(val))
+
+
+def vertex_connectivity(
+    graph: LinkGraph,
+    max_edges: int = 1_000_000,
+    max_vertices: int = 300,
+) -> int:
+    """Vertex connectivity κ (igraph_vertex_connectivity,
+    /root/reference/src/flow.c:2014): minimum number of vertices whose
+    removal disconnects the graph; n-1 for complete graphs (no vertex
+    cut exists — the reference's convention).
+
+    Computed on the standard vertex-split network (v → v_in, v_out
+    with a unit arc) by minimizing unit maxflow over NON-ADJACENT
+    pairs. Brute-force over pairs (the reference's Even–Tarjan pivots
+    are a constant-factor refinement) — driver-side and additionally
+    guarded by ``max_vertices``."""
+    n = graph.vcount()
+    if n > max_vertices:
+        raise ValueError(
+            f"vertex_connectivity enumerates vertex pairs driver-side; "
+            f"refusing |V|={n} > {max_vertices}"
+        )
+    if n < 2:
+        return 0
+    arcs = {
+        (int(r["src"]), int(r["dst"]))
+        for r in graph.edges.select("src", "dst").collect()
+        if r["src"] != r["dst"]
+    }
+    if graph.ecount() > max_edges:
+        raise ValueError(f"refusing |E| > {max_edges}")
+    if not graph.directed:
+        arcs |= {(v, u) for u, v in arcs}
+    ids = sorted({r["id"] for r in graph.vertices().collect()})
+    # split network: v_in = 2v, v_out = 2v+1; v_in→v_out cap 1,
+    # arc (u,v) becomes u_out→v_in cap inf
+    INF = float(len(ids) + 1)
+    cap: dict[tuple[int, int], float] = defaultdict(float)
+    adj: dict[int, set[int]] = defaultdict(set)
+
+    def add(u, v, c):
+        cap[(u, v)] += c
+        adj[u].add(v)
+        adj[v].add(u)
+
+    for v in ids:
+        add(2 * v, 2 * v + 1, 1.0)
+    for u, v in arcs:
+        add(2 * u + 1, 2 * v, INF)
+    best = None
+    for s in ids:
+        for t in ids:
+            if s == t or (s, t) in arcs:
+                continue
+            val = _ek_solve(cap, adj, 2 * s + 1, 2 * t)[0]
+            best = val if best is None else min(best, val)
+            if best == 0.0:
+                return 0
+    if best is None:
+        return n - 1  # complete graph: every pair adjacent
+    return int(round(best))
