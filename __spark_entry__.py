@@ -126,12 +126,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q_degree(mode: str):
-    def q(spark, sf_dir):
-        g = _dense_graph(spark, sf_dir)
-        return g.degrees(mode).orderBy("id")
-
-    return q
+def _q_degrees(spark, sf_dir):
+    # out/in/all in one result — one registry slot covers all three
+    # degree modes (the driver checks only the first 50 dict entries;
+    # see the registry note on queries())
+    g = _dense_graph(spark, sf_dir)
+    out = g.degrees("out").withColumnRenamed("degree", "deg_out")
+    inn = g.degrees("in").withColumnRenamed("degree", "deg_in")
+    al = g.degrees("all").withColumnRenamed("degree", "deg_all")
+    return out.join(inn, "id").join(al, "id")
 
 
 def _q_strength(spark, sf_dir):
@@ -158,11 +161,19 @@ def _q_reciprocity(spark, sf_dir):
     )
 
 
-def _q_triangle_count(spark, sf_dir):
-    from xdata_igraph_spark.operators.triangles import list_triangles
+def _q_triangle_tx(spark, sf_dir):
+    # triangle count + global transitivity merged into one scalar row
+    from xdata_igraph_spark.operators.triangles import (
+        list_triangles,
+        transitivity_undirected,
+    )
 
     g = _dense_graph(spark, sf_dir)
-    return list_triangles(g).agg(F.count("*").alias("n_triangles"))
+    n_tri = list_triangles(g).count()
+    t = transitivity_undirected(g)
+    return spark.createDataFrame(
+        [(n_tri, round(t, 9))], "n_triangles long, transitivity double"
+    )
 
 
 def _q_triangles_per_vertex(spark, sf_dir):
@@ -170,14 +181,6 @@ def _q_triangles_per_vertex(spark, sf_dir):
 
     g = _dense_graph(spark, sf_dir)
     return adjacent_triangles(g).filter(F.col("triangles") > 0)
-
-
-def _q_transitivity(spark, sf_dir):
-    from xdata_igraph_spark.operators.triangles import transitivity_undirected
-
-    g = _dense_graph(spark, sf_dir)
-    t = transitivity_undirected(g)
-    return spark.createDataFrame([(round(t, 9),)], "transitivity double")
 
 
 def _q_pagerank(spark, sf_dir):
@@ -237,13 +240,6 @@ def _us_them(spark, sf_dir):
     return side(0), side(1)
 
 
-def _q_scan0_them(spark, sf_dir):
-    from xdata_igraph_spark.operators.scan_stats import scan0_them
-
-    us, them = _us_them(spark, sf_dir)
-    return scan0_them(us, them)
-
-
 def _q_wcc(spark, sf_dir):
     from xdata_igraph_spark.operators.components import wcc
 
@@ -277,38 +273,30 @@ def _q_dedup_exact(spark, sf_dir):
     return exact_duplicates(_docs(spark, sf_dir)).select("fingerprint", "n_docs")
 
 
-def _q_token_stats(spark, sf_dir):
-    from xdata_igraph_spark.operators.textstats import token_stats
+def _q_doc_text_metrics(spark, sf_dir):
+    # token stats + quality + lang-ID merged into one per-doc result —
+    # three textstats operators, one registry slot
+    from xdata_igraph_spark.operators.textstats import (
+        lang_id,
+        quality_score,
+        token_stats,
+    )
 
-    return token_stats(_docs(spark, sf_dir))
-
-
-def _q_quality(spark, sf_dir):
-    from xdata_igraph_spark.operators.textstats import quality_score
-
-    return quality_score(_docs(spark, sf_dir))
-
-
-def _q_lang_id(spark, sf_dir):
-    from xdata_igraph_spark.operators.textstats import lang_id
-
-    return lang_id(_docs(spark, sf_dir))
-
-
-def _q_minhash(spark, sf_dir):
-    from xdata_igraph_spark.operators.dedup import minhash_signatures
-
-    sig = minhash_signatures(_docs(spark, sf_dir), num_hashes=8, shingle_n=3)
-    return sig.select(
-        "doc_id", *[F.col("sig").getItem(i).alias(f"h{i}") for i in range(8)]
+    docs = _docs(spark, sf_dir)
+    return (
+        token_stats(docs)
+        .join(quality_score(docs), "doc_id")
+        .join(lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
     )
 
 
-def _q_ngram_jaccard(spark, sf_dir):
-    from xdata_igraph_spark.operators.dedup import ngram_jaccard_pairs
+def _q_ngram_jaccard_verify(spark, sf_dir):
+    # the production near-dup pipeline: LSH candidates → exact shingle
+    # Jaccard restricted to those candidates (dedup.py:lsh_verified_pairs)
+    from xdata_igraph_spark.operators.dedup import lsh_verified_pairs
 
-    return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), shingle_n=3, threshold=0.2
+    return lsh_verified_pairs(
+        _docs(spark, sf_dir), num_hashes=8, bands=4, shingle_n=3, threshold=0.2
     ).select("a", "b", F.round("jaccard", 9).alias("jaccard"))
 
 
@@ -342,20 +330,6 @@ def _q_srp_topk(spark, sf_dir):
     return srp_topk(_emb(spark, sf_dir), k=3, n_planes=8, dim=64, n_tables=4).select(
         "query_id", "neighbor_id", F.round("cosine", 5).alias("cosine")
     )
-
-
-def _q_dice(spark, sf_dir):
-    from xdata_igraph_spark.operators.similarity import dice_edge_pairs
-
-    g = _dense_graph(spark, sf_dir)
-    return dice_edge_pairs(g).select("a", "b", F.round("dice", 9).alias("dice"))
-
-
-def _q_invlog(spark, sf_dir):
-    from xdata_igraph_spark.operators.similarity import inverse_log_weighted
-
-    g = _dense_graph(spark, sf_dir)
-    return inverse_log_weighted(g).select("a", "b", F.round("sim", 8).alias("sim"))
 
 
 def _q_hits(spark, sf_dir):
@@ -407,11 +381,21 @@ def _q_topo_layers(spark, sf_dir):
     return topological_sorting(g).select("id", "layer", "order")
 
 
-def _q_neighborhood2(spark, sf_dir):
-    from xdata_igraph_spark.operators.structure import neighborhood_size
+def _q_neighborhood2_members(spark, sf_dir):
+    # neighborhood_size + neighborhood (member lists) in one slot; the
+    # sorted member array is emitted as a comma-joined string so both
+    # engines hash identically
+    from xdata_igraph_spark.operators.structure import neighborhood
 
     g = _sparse_graph(spark, sf_dir)
-    return neighborhood_size(g, order=2, mode="all")
+    nb = neighborhood(g, order=2, mode="all")
+    return nb.select(
+        "id",
+        F.size("members").cast("bigint").alias("size"),
+        F.array_join(F.transform("members", lambda x: x.cast("string")), ",").alias(
+            "members"
+        ),
+    )
 
 
 def _q_annd(spark, sf_dir):
@@ -440,11 +424,55 @@ def _q_linegraph(spark, sf_dir):
     return linegraph(g)
 
 
-def _q_gen_tree_degrees(spark, sf_dir):
-    from xdata_igraph_spark.sources.generators import tree
+def _q_gen_grg_degrees(spark, sf_dir):
+    # grid-bucketed spatial join on the Spark side; the DuckDB oracle
+    # is a brute-force all-pairs distance scan over the identical
+    # md5-derived coordinates — an independent completeness check of
+    # the bucketing (same pattern as simhash_near_pairs)
+    from xdata_igraph_spark.sources.generators import grg
 
-    g = tree(spark, 3000, children=3)
+    g, _pts = grg(spark, 1000, 0.05, seed=7)
     return g.degrees("all").select("id", F.col("degree").cast("bigint").alias("degree"))
+
+
+def _q_bipartite_projection(spark, sf_dir):
+    # orders × part-buckets bipartite graph from lineitem; project onto
+    # the part side (shared side = orders, degree ≈ lines-per-order —
+    # bounded, no hub blowup at sf0.01)
+    from xdata_igraph_spark.operators.bipartite import bipartite_projection
+
+    li = _li(spark, sf_dir)
+    e = (
+        li.select(
+            F.col("l_orderkey").alias("src"),
+            (100000 + F.col("l_partkey") % 500).alias("dst"),
+        )
+        .distinct()
+        .withColumn("weight", F.lit(1.0))
+    )
+    g = LinkGraph(e, directed=False)
+    types = g.vertices().select("id", (F.col("id") >= 100000).alias("type"))
+    return bipartite_projection(g, types, which=1)
+
+
+def _q_compare_communities(spark, sf_dir):
+    # two deterministic partitions of the sparse graph's vertex set;
+    # all five igraph_compare_communities metrics in one row
+    from xdata_igraph_spark.operators.community_cmp import comparison_metrics
+
+    g = _sparse_graph(spark, sf_dir)
+    verts = g.vertices()
+    m1 = verts.select("id", (F.col("id") % 7).alias("label"))
+    m2 = verts.select("id", (F.col("id") % 13).alias("label"))
+    m = comparison_metrics(m1, m2)
+    return m.select(
+        "n",
+        F.round("vi", 9).alias("vi"),
+        F.round("nmi", 9).alias("nmi"),
+        "split_join",
+        F.round("rand", 9).alias("rand"),
+        F.round("adjusted_rand", 9).alias("adjusted_rand"),
+    )
 
 
 def _q_events_windowed(spark, sf_dir):
@@ -490,14 +518,6 @@ def _q_paths_reconstruct(spark, sf_dir):
     )
 
 
-def _q_subcomponent(spark, sf_dir):
-    from xdata_igraph_spark.operators.components import subcomponent
-
-    g = _sparse_graph(spark, sf_dir)
-    src = g.vertices().agg(F.min("id")).first()[0]
-    return subcomponent(g, int(src), mode="out")
-
-
 def _q_path_length_hist(spark, sf_dir):
     from xdata_igraph_spark.operators.paths import path_length_hist
 
@@ -512,13 +532,6 @@ def _q_triad_census(spark, sf_dir):
 
     g = _dense_graph(spark, sf_dir)
     return triad_census(g)
-
-
-def _q_scan_k2(spark, sf_dir):
-    from xdata_igraph_spark.operators.scan_stats import scan_k_ecount
-
-    g = _sparse_graph(spark, sf_dir)
-    return scan_k_ecount(g, k=2, mode="all")
 
 
 def _q_scan_k2_them(spark, sf_dir):
@@ -671,64 +684,65 @@ def _q_ase(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver checks only the first 50 dict
+    slots, so near-duplicate coverage is merged (degrees out/in/all →
+    one query; triangle count + transitivity → one row; the three
+    textstats ops → one per-doc result; neighborhood size + members →
+    one slot) and redundant variants of green families (dice vs
+    jaccard, scan0_them vs scan_k2_them, minhash_signatures vs the LSH
+    pipeline, subcomponent vs wcc, tree vs grg generator) live in
+    pytest instead. Every distinct operator family keeps a driver
+    correctness row; tools/check_contract.py runs the full registry
+    and its log is committed per round as CONTRACT_r{N}.txt."""
     return {
-        "degree_out": _q_degree("out"),
-        "degree_in": _q_degree("in"),
-        "degree_all": _q_degree("all"),
+        "degrees": _q_degrees,
         "strength_all": _q_strength,
         "simplify_edges": _q_simplify,
         "reciprocity": _q_reciprocity,
-        "triangle_count": _q_triangle_count,
+        "triangle_tx": _q_triangle_tx,
         "triangles_per_vertex": _q_triangles_per_vertex,
-        "transitivity_global": _q_transitivity,
+        "transitivity_barrat": _q_barrat,
         "pagerank_5iter": _q_pagerank,
+        "hits_3iter": _q_hits,
+        "eigenvector_3iter": _q_eigenvector,
+        "betweenness": _q_betweenness,
+        "edge_betweenness": _q_edge_betweenness,
+        "closeness": _q_closeness,
+        "constraint": _q_constraint,
+        "wcc_sparse": _q_wcc,
+        "scc_sparse": _q_scc,
+        "kcore_sparse": _q_kcore,
+        "bfs_hops": _q_bfs_hops,
+        "topo_layers": _q_topo_layers,
+        "paths_reconstruct": _q_paths_reconstruct,
+        "all_geodesics": _q_all_geodesics,
+        "path_length_hist": _q_path_length_hist,
+        "neighborhood2_members": _q_neighborhood2_members,
+        "annd_dense": _q_annd,
+        "dyad_census_dense": _q_dyad_census,
+        "triad_census": _q_triad_census,
+        "motifs3": _q_motifs3,
+        "cliques4": _q_cliques4,
         "cocitation_min3": _q_cocitation,
         "jaccard_edges": _q_jaccard,
         "assortativity_degree": _q_assortativity,
         "scan1": _q_scan1,
-        "scan0_them": _q_scan0_them,
-        "wcc_sparse": _q_wcc,
-        "scc_sparse": _q_scc,
-        "kcore_sparse": _q_kcore,
+        "scan_k2_them": _q_scan_k2_them,
+        "linegraph_sparse": _q_linegraph,
+        "subgraph_edges_degrees": _q_subgraph_edges,
+        "gen_grg_degrees": _q_gen_grg_degrees,
+        "bipartite_projection": _q_bipartite_projection,
+        "compare_communities": _q_compare_communities,
         "doc_fingerprints": _q_fingerprints,
         "dedup_exact": _q_dedup_exact,
-        "doc_token_stats": _q_token_stats,
-        "doc_quality": _q_quality,
-        "doc_lang_id": _q_lang_id,
-        "minhash_signatures": _q_minhash,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "doc_text_metrics": _q_doc_text_metrics,
         "minhash_lsh_candidates": _q_lsh_candidates,
+        "ngram_jaccard_verify": _q_ngram_jaccard_verify,
         "simhash": _q_simhash,
+        "simhash_near_pairs": _q_simhash_near,
         "embedding_topk": _q_embedding_topk,
         "srp_topk": _q_srp_topk,
         "events_windowed": _q_events_windowed,
-        "dice_edges": _q_dice,
-        "invlogweighted": _q_invlog,
-        "hits_3iter": _q_hits,
-        "eigenvector_3iter": _q_eigenvector,
-        "bfs_hops": _q_bfs_hops,
-        "topo_layers": _q_topo_layers,
-        "neighborhood2": _q_neighborhood2,
-        "annd_dense": _q_annd,
-        "dyad_census_dense": _q_dyad_census,
-        "linegraph_sparse": _q_linegraph,
-        "gen_tree_degrees": _q_gen_tree_degrees,
-        "closeness": _q_closeness,
-        "paths_reconstruct": _q_paths_reconstruct,
-        "subcomponent": _q_subcomponent,
-        "path_length_hist": _q_path_length_hist,
-        "triad_census": _q_triad_census,
-        "scan_k2": _q_scan_k2,
-        "scan_k2_them": _q_scan_k2_them,
-        "betweenness": _q_betweenness,
-        "constraint": _q_constraint,
-        "all_geodesics": _q_all_geodesics,
-        "motifs3": _q_motifs3,
-        "cliques4": _q_cliques4,
-        "transitivity_barrat": _q_barrat,
-        "simhash_near_pairs": _q_simhash_near,
-        "subgraph_edges_degrees": _q_subgraph_edges,
-        "edge_betweenness": _q_edge_betweenness,
         "louvain_communities": _q_louvain,
         "ase_embedding": _q_ase,
     }
@@ -739,19 +753,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _deg_sql(side: str) -> str:
-    if side == "all":
-        counts = """
-  SELECT id, count(*) AS d FROM (
-    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
-  ) GROUP BY id"""
-    else:
-        col = "src" if side == "out" else "dst"
-        counts = f"SELECT {col} AS id, count(*) AS d FROM edges GROUP BY {col}"
-    return f"""WITH {DENSE_EDGES_SQL},
-counts AS ({counts})
-SELECT v.id, CAST(coalesce(c.d, 0) AS BIGINT) AS degree
-FROM verts v LEFT JOIN counts c ON v.id = c.id"""
+_DEGREES_SQL = f"""WITH {DENSE_EDGES_SQL},
+co AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
+ci AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst)
+SELECT v.id,
+       CAST(coalesce(co.d, 0) AS BIGINT) AS deg_out,
+       CAST(coalesce(ci.d, 0) AS BIGINT) AS deg_in,
+       CAST(coalesce(co.d, 0) + coalesce(ci.d, 0) AS BIGINT) AS deg_all
+FROM verts v
+LEFT JOIN co ON v.id = co.id
+LEFT JOIN ci ON v.id = ci.id"""
 
 
 def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
@@ -796,9 +807,7 @@ tri AS (
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
-    sql["degree_out"] = _deg_sql("out")
-    sql["degree_in"] = _deg_sql("in")
-    sql["degree_all"] = _deg_sql("all")
+    sql["degrees"] = _DEGREES_SQL
 
     sql["strength_all"] = f"""WITH {DENSE_EDGES_SQL},
 s AS (
@@ -825,10 +834,15 @@ SELECT count(*) AS total_edges,
        round(sum(m)::DOUBLE / count(*), 9) AS reciprocity
 FROM flagged"""
 
-    sql["triangle_count"] = (
-        f"WITH {DENSE_EDGES_SQL},{_TRI_CORE_SQL}\n"
-        "SELECT count(*) AS n_triangles FROM tri"
-    )
+    sql["triangle_tx"] = f"""WITH {DENSE_EDGES_SQL},{_TRI_CORE_SQL},
+deg AS (
+  SELECT id, count(*) AS d FROM (
+    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
+  ) GROUP BY id
+)
+SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+       round(6.0 * (SELECT count(*) FROM tri)
+             / (SELECT sum(d * (d - 1)) FROM deg), 9) AS transitivity"""
 
     sql["triangles_per_vertex"] = f"""WITH {DENSE_EDGES_SQL},{_TRI_CORE_SQL}
 SELECT id, count(*) AS triangles FROM (
@@ -836,16 +850,6 @@ SELECT id, count(*) AS triangles FROM (
   UNION ALL SELECT v2 FROM tri
   UNION ALL SELECT v3 FROM tri
 ) GROUP BY id"""
-
-    sql["transitivity_global"] = f"""WITH {DENSE_EDGES_SQL},{_TRI_CORE_SQL},
-deg AS (
-  SELECT id, count(*) AS d FROM (
-    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
-  ) GROUP BY id
-)
-SELECT round(
-  6.0 * (SELECT count(*) FROM tri) / (SELECT sum(d * (d - 1)) FROM deg), 9
-) AS transitivity"""
 
     sql["pagerank_5iter"] = _pagerank_sql(5)
 
@@ -898,26 +902,6 @@ cnt AS (
   GROUP BY pa.v)
 SELECT v.id, CAST(coalesce(cnt.c, 0) AS BIGINT) AS scan1
 FROM verts v LEFT JOIN cnt ON cnt.v = v.id"""
-
-    sql["scan0_them"] = f"""WITH
-us AS (
-  SELECT DISTINCT l_orderkey % {DENSE_MOD} AS src, l_partkey % {DENSE_MOD} AS dst
-  FROM lineitem
-  WHERE l_linenumber % 2 = 0 AND l_orderkey % {DENSE_MOD} <> l_partkey % {DENSE_MOD}
-),
-them AS (
-  SELECT DISTINCT l_orderkey % {DENSE_MOD} AS src, l_partkey % {DENSE_MOD} AS dst
-  FROM lineitem
-  WHERE l_linenumber % 2 = 1 AND l_orderkey % {DENSE_MOD} <> l_partkey % {DENSE_MOD}
-),
-us_verts AS (SELECT src AS id FROM us UNION SELECT dst FROM us),
-them_deg AS (
-  SELECT id, count(*) AS d FROM (
-    SELECT src AS id FROM them UNION ALL SELECT dst FROM them
-  ) GROUP BY id
-)
-SELECT v.id, CAST(coalesce(t.d, 0) AS BIGINT) AS scan0_them
-FROM us_verts v LEFT JOIN them_deg t ON v.id = t.id"""
 
     sql["wcc_sparse"] = f"""WITH RECURSIVE {SPARSE_EDGES_SQL},
 sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
@@ -1030,15 +1014,6 @@ walk(target, cur, path) AS (
 SELECT d.id AS target, CAST(d.dist AS BIGINT) AS dist, w.path
 FROM d JOIN walk w ON w.target = d.id AND w.cur = (SELECT sid FROM s)"""
 
-    sql["subcomponent"] = f"""WITH RECURSIVE {SPARSE_EDGES_SQL},
-s AS (SELECT min(id) AS sid FROM verts),
-r(id) AS (
-  SELECT sid FROM s
-  UNION
-  SELECT e.dst FROM r JOIN edges e ON e.src = r.id
-)
-SELECT id FROM r"""
-
     sql["path_length_hist"] = f"""WITH RECURSIVE {SPARSE_EDGES_SQL},
 r(s, d, dist) AS (
   SELECT id, id, 0 FROM verts
@@ -1146,28 +1121,6 @@ SELECT triad,
             - (SELECT sum(cnt) FROM base WHERE i > 0)
        ELSE cnt END AS BIGINT) AS count
 FROM base"""
-
-    _scan2_reach = """
-r1 AS (SELECT s AS v, d AS u FROM ssym),
-r2 AS (
-  SELECT a.s AS v, b.d AS u FROM ssym a JOIN ssym b ON a.d = b.s),
-reach AS (
-  SELECT id AS v, id AS u FROM sverts
-  UNION SELECT v, u FROM r1
-  UNION SELECT v, u FROM r2),
-cnt AS (
-  SELECT pa.v, count(*) AS scan
-  FROM edges e
-  JOIN reach pa ON pa.u = e.src
-  JOIN reach pb ON pb.v = pa.v AND pb.u = e.dst
-  GROUP BY pa.v)
-SELECT sv.id, coalesce(cnt.scan, 0) AS scan
-FROM sverts sv LEFT JOIN cnt ON cnt.v = sv.id"""
-
-    sql["scan_k2"] = f"""WITH {SPARSE_EDGES_SQL},
-ssym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
-sverts AS (SELECT DISTINCT s AS id FROM ssym),
-{_scan2_reach}"""
 
     sql["scan_k2_them"] = f"""WITH
 us AS (
@@ -1438,29 +1391,6 @@ FROM kverts LEFT JOIN deg ON deg.id = kverts.id"""
 SELECT md5(text) AS fingerprint, count(*) AS n_docs
 FROM documents GROUP BY 1 HAVING count(*) > 1"""
 
-    sql["doc_token_stats"] = f"""WITH t AS (
-  SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents
-)
-SELECT doc_id,
-       CAST(len(toks) AS INT) AS n_tokens,
-       CAST(length(text) AS INT) AS n_chars,
-       round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
-             / greatest(len(toks), 1), 6) AS avg_token_len
-FROM t"""
-
-    sql["doc_quality"] = """
-SELECT doc_id,
-  round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
-        / greatest(length(text), 1), 6) AS alpha_ratio,
-  round(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
-        / greatest(length(text), 1), 6) AS ws_ratio,
-  round(least(1.0,
-    length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
-      / greatest(length(text), 1)
-    + CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 0.1 ELSE 0.0 END), 6
-  ) AS quality
-FROM documents"""
-
     langs = {"en": ["the", "and", "of", "to", "a"],
              "de": ["der", "die", "und", "das", "ist"],
              "fr": ["le", "la", "et", "les", "des"],
@@ -1474,8 +1404,29 @@ FROM documents"""
     when_chain = "\n    ".join(
         f"WHEN s_{la} = best AND best > 0 THEN '{la}'" for la in langs
     )
-    sql["doc_lang_id"] = f"""WITH t AS (
-  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+    sql["doc_text_metrics"] = f"""WITH t AS (
+  SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents
+),
+ts AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::DOUBLE
+               / greatest(len(toks), 1), 6) AS avg_token_len
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+    round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1), 6) AS alpha_ratio,
+    round(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1), 6) AS ws_ratio,
+    round(least(1.0,
+      length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1)
+      + CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 0.1 ELSE 0.0 END), 6
+    ) AS quality
+  FROM documents
 ),
 scored AS (
   SELECT doc_id,
@@ -1484,11 +1435,15 @@ scored AS (
 ),
 withbest AS (
   SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM scored
+),
+lid AS (
+  SELECT doc_id,
+    CASE {when_chain}
+      ELSE 'unk' END AS pred_lang
+  FROM withbest
 )
-SELECT doc_id,
-  CASE {when_chain}
-    ELSE 'unk' END AS pred_lang
-FROM withbest"""
+SELECT ts.*, q.alpha_ratio, q.ws_ratio, q.quality, lid.pred_lang
+FROM ts JOIN q USING (doc_id) JOIN lid USING (doc_id)"""
 
     shingle_sql = f"""sh AS (
   SELECT doc_id,
@@ -1502,24 +1457,6 @@ FROM withbest"""
         f"min(('0x' || substr(md5('{i}|' || sh), 1, 8))::BIGINT) AS h{i}"
         for i in range(8)
     )
-    sql["minhash_signatures"] = f"""WITH {shingle_sql}
-SELECT doc_id,
-  {minh}
-FROM sh GROUP BY doc_id"""
-
-    sql["ngram_jaccard_pairs"] = f"""WITH {shingle_sql},
-dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
-sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
-common AS (
-  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS c
-  FROM dsh t1 JOIN dsh t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id
-  GROUP BY 1, 2
-)
-SELECT a, b, round(c::DOUBLE / (sa.n + sb.n - c), 9) AS jaccard
-FROM common
-JOIN sizes sa ON common.a = sa.doc_id
-JOIN sizes sb ON common.b = sb.doc_id
-WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.2"""
 
     band_vals = []
     rows = 2
@@ -1540,6 +1477,37 @@ buckets AS (
 SELECT DISTINCT t1.doc_id AS a, t2.doc_id AS b
 FROM buckets t1 JOIN buckets t2
   ON t1.bucket = t2.bucket AND t1.doc_id < t2.doc_id"""
+
+    # LSH → exact-Jaccard verify pipeline: the full-join jaccard
+    # (independent of the Spark side's pairs-restricted plan) filtered
+    # to the LSH candidate set
+    sql["ngram_jaccard_verify"] = f"""WITH {shingle_sql},
+sig AS (
+  SELECT doc_id,
+  {minh}
+  FROM sh GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, unnest([{", ".join(band_vals)}]) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT t1.doc_id AS a, t2.doc_id AS b
+  FROM buckets t1 JOIN buckets t2
+    ON t1.bucket = t2.bucket AND t1.doc_id < t2.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM dsh GROUP BY doc_id),
+common AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS c
+  FROM dsh t1 JOIN dsh t2 ON t1.sh = t2.sh AND t1.doc_id < t2.doc_id
+  GROUP BY 1, 2
+)
+SELECT common.a, common.b, round(c::DOUBLE / (sa.n + sb.n - c), 9) AS jaccard
+FROM common
+JOIN cand ON cand.a = common.a AND cand.b = common.b
+JOIN sizes sa ON common.a = sa.doc_id
+JOIN sizes sb ON common.b = sb.doc_id
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.2"""
 
     # srp_topk: the SRP hyperplanes are deterministic (seeded numpy, see
     # operators/ann.py:_planes); the oracle embeds the identical plane
@@ -1616,32 +1584,6 @@ rk AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, round(c, 5) AS cosine FROM rk WHERE rn <= 3"""
-
-    sql["dice_edges"] = f"""WITH {DENSE_EDGES_SQL},
-sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
-deg AS (SELECT s AS id, count(*) AS deg FROM sym GROUP BY s),
-pairs AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
-common AS (
-  SELECT t1.s AS a, t2.s AS b, count(*) AS n
-  FROM sym t1 JOIN sym t2 ON t1.d = t2.d AND t1.s < t2.s
-  GROUP BY 1, 2
-)
-SELECT p.a, p.b,
-       round(2.0 * coalesce(c.n, 0) / (da.deg + db.deg), 9) AS dice
-FROM pairs p
-LEFT JOIN common c ON p.a = c.a AND p.b = c.b
-JOIN deg da ON p.a = da.id
-JOIN deg db ON p.b = db.id"""
-
-    sql["invlogweighted"] = f"""WITH {DENSE_EDGES_SQL},
-sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
-deg AS (SELECT s AS k, count(*) AS kdeg FROM sym GROUP BY s)
-SELECT t1.s AS a, t2.s AS b,
-       round(sum(CASE WHEN deg.kdeg > 1 THEN 1.0 / ln(deg.kdeg) ELSE 0 END), 8) AS sim
-FROM sym t1
-JOIN sym t2 ON t1.d = t2.d AND t1.s < t2.s
-JOIN deg ON deg.k = t1.d
-GROUP BY 1, 2"""
 
     # --- eigenvector / HITS: unrolled power-iteration rounds ---
     def _ev_sql(iters: int = 3) -> str:
@@ -1731,7 +1673,7 @@ SELECT id, CAST(layer AS BIGINT) AS layer,
        CAST(row_number() OVER (ORDER BY layer, id) - 1 AS BIGINT) AS "order"
 FROM layers"""
 
-    sql["neighborhood2"] = f"""WITH {SPARSE_EDGES_SQL},
+    sql["neighborhood2_members"] = f"""WITH {SPARSE_EDGES_SQL},
 sym AS (SELECT src AS s, dst AS d FROM edges UNION SELECT dst, src FROM edges),
 n1 AS (SELECT s AS id, d AS nbr FROM sym),
 n2 AS (
@@ -1742,10 +1684,9 @@ reach AS (
   UNION SELECT id, nbr FROM n1
   UNION SELECT id, nbr FROM n2
 )
-SELECT v.id, CAST(coalesce(c.n, 0) AS BIGINT) AS size
-FROM verts v LEFT JOIN (
-  SELECT id, count(*) AS n FROM reach GROUP BY id
-) c ON v.id = c.id"""
+SELECT id, CAST(count(*) AS BIGINT) AS size,
+       array_to_string(list_sort(array_agg(nbr)), ',') AS members
+FROM reach GROUP BY id"""
 
     sql["annd_dense"] = f"""WITH {DENSE_EDGES_SQL},
 sym AS (SELECT src AS s, dst AS d FROM edges UNION ALL SELECT dst, src FROM edges),
@@ -1776,12 +1717,74 @@ eid AS (
 SELECT a.eid AS src, b.eid AS dst
 FROM eid a JOIN eid b ON a.dst = b.src AND a.eid <> b.eid"""
 
-    sql["gen_tree_degrees"] = """WITH
-kids AS (SELECT j.range AS j, (j.range - 1) // 3 AS parent FROM range(1, 3000) j),
-ends AS (SELECT parent AS id FROM kids UNION ALL SELECT j FROM kids),
-deg AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
-SELECT v.range AS id, CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
-FROM range(0, 3000) v LEFT JOIN deg ON deg.id = v.range"""
+    # grg: brute-force all-pairs distance scan over the same md5
+    # coordinates (1000^2/2 pairs) — independently verifies the Spark
+    # side's grid-bucketed spatial join drops nothing
+    sql["gen_grg_degrees"] = """WITH
+pts AS (
+  SELECT v.range AS id,
+    ('0x' || substr(md5('x|7|' || v.range), 1, 8))::BIGINT / 4294967296.0 AS x,
+    ('0x' || substr(md5('y|7|' || v.range), 1, 8))::BIGINT / 4294967296.0 AS y
+  FROM range(0, 1000) v
+),
+e AS (
+  SELECT a.id AS s, b.id AS d
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) < 0.05 * 0.05
+),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT s AS id FROM e UNION ALL SELECT d FROM e
+  ) GROUP BY id
+)
+SELECT p.id, CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree
+FROM pts p LEFT JOIN deg ON deg.id = p.id"""
+
+    sql["bipartite_projection"] = """WITH
+arcs AS (
+  SELECT DISTINCT l_orderkey AS u, 100000 + l_partkey % 500 AS w
+  FROM lineitem
+)
+SELECT t1.w AS src, t2.w AS dst, count(*) AS multiplicity
+FROM arcs t1 JOIN arcs t2 ON t1.u = t2.u AND t1.w < t2.w
+GROUP BY 1, 2"""
+
+    # compare_communities: confusion matrix of the two modular
+    # partitions + the reference's VI/NMI/split-join/Rand formulas
+    # (community.c:3203-3520) in closed SQL form
+    sql["compare_communities"] = f"""WITH {SPARSE_EDGES_SQL},
+mem AS (SELECT id, id % 7 AS c1, id % 13 AS c2 FROM verts),
+nn AS (SELECT count(*)::DOUBLE AS n FROM mem),
+conf AS (SELECT c1, c2, count(*)::DOUBLE AS nij FROM mem GROUP BY 1, 2),
+rows_ AS (SELECT c1, sum(nij) AS ai, max(nij) AS rowmax FROM conf GROUP BY c1),
+cols_ AS (SELECT c2, sum(nij) AS bj, max(nij) AS colmax FROM conf GROUP BY c2),
+h1 AS (SELECT -sum((ai / nn.n) * ln(ai / nn.n)) AS h FROM rows_, nn),
+h2 AS (SELECT -sum((bj / nn.n) * ln(bj / nn.n)) AS h FROM cols_, nn),
+mi AS (
+  SELECT sum((nij / nn.n)
+             * (ln(nij / nn.n) - ln(ai / nn.n) - ln(bj / nn.n))) AS mi
+  FROM conf JOIN rows_ USING (c1) JOIN cols_ USING (c2), nn
+),
+pij AS (SELECT sum((nij / nn.n) * (nij - 1) / (nn.n - 1)) AS p FROM conf, nn),
+f1 AS (SELECT sum((ai / nn.n) * (ai - 1) / (nn.n - 1)) AS f FROM rows_, nn),
+f2 AS (SELECT sum((bj / nn.n) * (bj - 1) / (nn.n - 1)) AS f FROM cols_, nn),
+sj AS (
+  SELECT (2 * nn.n - (SELECT sum(rowmax) FROM rows_)
+          - (SELECT sum(colmax) FROM cols_)) AS v
+  FROM nn
+),
+rnd AS (
+  SELECT 1.0 + 2 * pij.p - f1.f - f2.f AS rand,
+         f1.f * f2.f + (1 - f1.f) * (1 - f2.f) AS expected
+  FROM pij, f1, f2
+)
+SELECT CAST(nn.n AS BIGINT) AS n,
+       round(h1.h + h2.h - 2 * mi.mi, 9) AS vi,
+       round(2 * mi.mi / (h1.h + h2.h), 9) AS nmi,
+       CAST(sj.v AS BIGINT) AS split_join,
+       round(rnd.rand, 9) AS rand,
+       round((rnd.rand - rnd.expected) / (1 - rnd.expected), 9) AS adjusted_rand
+FROM nn, h1, h2, mi, sj, rnd"""
 
     sql["events_windowed"] = """
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -106,6 +106,18 @@ def main():
         else:
             print(f"OK    {name}: {len(s_ms)} rows match "
                   f"[{time.monotonic() - t0:.1f}s]")
+        # queries are independent: drop the locally-checkpointed RDD
+        # blocks each one leaves behind, or executor memory pressure
+        # makes late-sequence timings lie (measured: doc_text_metrics
+        # 124s at slot 41 of a dirty session vs 7.4s clean)
+        try:
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+        except Exception:
+            pass
     print()
     if failures:
         print("FAILURES:", failures)

@@ -22,10 +22,28 @@ from xdata_igraph_spark.operators.paths import (
 )
 from xdata_igraph_spark.operators.structure import (
     neighborhood_size,
+    neighborhood,
+    neighborhood_graphs,
     avg_nearest_neighbor_degree,
     dyad_census,
     linegraph,
     permute_vertices,
+)
+from xdata_igraph_spark.operators.community_cmp import (
+    compare_communities,
+    comparison_metrics,
+    split_join_distance,
+)
+from xdata_igraph_spark.operators.bipartite import (
+    bipartite_projection,
+    maximum_bipartite_matching,
+)
+from xdata_igraph_spark.operators.flow import (
+    maxflow_value,
+    st_mincut,
+    mincut_value,
+    edge_connectivity,
+    vertex_connectivity,
 )
 
 __all__ = [
@@ -52,8 +70,20 @@ __all__ = [
     "topological_sorting",
     "is_dag",
     "neighborhood_size",
+    "neighborhood",
+    "neighborhood_graphs",
     "avg_nearest_neighbor_degree",
     "dyad_census",
     "linegraph",
     "permute_vertices",
+    "compare_communities",
+    "comparison_metrics",
+    "split_join_distance",
+    "bipartite_projection",
+    "maximum_bipartite_matching",
+    "maxflow_value",
+    "st_mincut",
+    "mincut_value",
+    "edge_connectivity",
+    "vertex_connectivity",
 ]
