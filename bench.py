@@ -51,6 +51,23 @@ def main() -> None:
         queries[name] = round(time.monotonic() - t, 3)
         return out
 
+    def drop_cached_blocks():
+        """Unpersist every cached/locally-checkpointed RDD.
+
+        Only safe at phase boundaries where no earlier checkpointed
+        DataFrame is reused afterward: accumulated blocks otherwise
+        build executor memory pressure that makes late-suite timings
+        lie (r3: minhash_lsh measured 45.5s dirty vs 6.5s clean).
+        """
+        try:
+            spark.catalog.clearCache()
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist()
+        except Exception:
+            pass
+
     # --- flagship: corpus → extract → graph → pagerank(1e-6) ---
     def ingest():
         pages = synthetic_pages(spark, n_pages)
@@ -81,6 +98,10 @@ def main() -> None:
     extra["corpus_pagerank_edges_per_sec"] = round(
         iters * corpus_edges / queries["corpus_pagerank_1e6"], 1
     )
+
+    # corpus graph is done — drop its checkpointed blocks before the
+    # lineitem phase so later timings run against a clean block manager
+    drop_cached_blocks()
 
     # --- lineitem-derived graph ---
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -127,6 +148,9 @@ def main() -> None:
     from xdata_igraph_spark.operators.scan_stats import scan1
 
     timed("scan1", lambda: scan1(g).count())
+
+    # graph phase done (nothing from it is reused below)
+    drop_cached_blocks()
 
     # --- data-pipeline operators ---
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -192,6 +192,49 @@ def edge_connectivity(
     return 0 if val == float("inf") else int(round(val))
 
 
+def gomory_hu_tree(
+    graph: LinkGraph,
+    capacity_col: str = "weight",
+    max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Gomory–Hu tree → (src, dst, weight) tree edges.
+
+    igraph_gomory_hu_tree (/root/reference/src/flow.c:1868): a tree on
+    the same vertex set whose minimum edge weight on the path between
+    u and v equals the u-v minimum cut value in the input. Undirected
+    only (the reference errors on directed input likewise).
+
+    Gusfield's variant: n-1 maxflow solves on the ORIGINAL network (no
+    contractions), updating tree parents by source-side membership.
+    The network is collected once (guarded) and the solves run on it
+    in memory, like :func:`mincut_value`.
+    """
+    if graph.directed:
+        raise ValueError(
+            "Gomory-Hu trees are defined for undirected graphs "
+            "(igraph_gomory_hu_tree errors likewise)"
+        )
+    spark = graph.spark
+    cap, adj = _collect_network(graph, capacity_col, max_edges)
+    ids = sorted(
+        {v for v, _ in cap} | {v for _, v in cap}
+        | {r["id"] for r in graph.vertices().collect()}
+    )
+    if len(ids) < 2:
+        return spark.createDataFrame([], "src long, dst long, weight double")
+    parent = {v: ids[0] for v in ids[1:]}
+    flow_to_parent: dict[int, float] = {}
+    for i, s in enumerate(ids[1:], start=1):
+        t = parent[s]
+        val, side1, _ = _ek_solve(cap, adj, s, t)
+        flow_to_parent[s] = val
+        for v in ids[i + 1:]:
+            if v in side1 and parent[v] == t:
+                parent[v] = s
+    rows = [(int(s), int(parent[s]), float(flow_to_parent[s])) for s in ids[1:]]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
 def vertex_connectivity(
     graph: LinkGraph,
     max_edges: int = 1_000_000,

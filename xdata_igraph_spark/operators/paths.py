@@ -136,6 +136,107 @@ def shortest_paths(
     return state.select("source", "id", "dist")
 
 
+def johnson_all_pairs(
+    graph: LinkGraph,
+    sources: list[int] | DataFrame | None = None,
+    max_iter: int = 200,
+    runner: SuperstepRunner | None = None,
+) -> DataFrame:
+    """All-pairs shortest paths with negative weights → (source, id, dist).
+
+    igraph_shortest_paths_johnson (/root/reference/src/
+    structural_properties.c:5289): negative edge weights are allowed as
+    long as no negative cycle exists. Directed graphs only — an
+    undirected negative edge IS a negative cycle (u-v-u), the same
+    precondition the reference enforces.
+
+    Plan: one vertex-keyed Bellman-Ford from a virtual source (state is
+    |V| potentials h, all starting at 0 — NOT per-source state) detects
+    negative cycles and yields the reweighting w' = w + h(u) - h(v) >= 0;
+    the per-source relaxation then runs on the nonnegative arcs via
+    :func:`shortest_paths` and distances are unshifted with
+    d(u,v) = d'(u,v) - h(u) + h(v). The expensive per-source stage sees
+    only nonnegative weights, so its frontier shrinks monotonically —
+    the whole point of Johnson's reweighting at scale.
+    """
+    spark = graph.spark
+    arcs = graph.edges.select("src", "dst", F.col("weight").cast("double"))
+    if not graph.directed:
+        neg = arcs.filter(F.col("weight") < 0).limit(1).count()
+        if neg:
+            raise ValueError(
+                "negative weight on an undirected edge is a negative "
+                "cycle (igraph_shortest_paths_johnson errors likewise)"
+            )
+        return shortest_paths(
+            graph, sources, mode="all", weighted=True,
+            max_iter=max_iter, runner=runner,
+        )
+
+    n = graph.vcount()
+    arcs = arcs.repartition("src").localCheckpointFlat(eager=True)
+    # potentials: h(v) = min(0, min over in-arcs (h(u) + w)) — the
+    # Bellman-Ford of a virtual source with 0-weight arcs to every vertex
+    h = graph.vertices().select("id", F.lit(0.0).alias("h"))
+    h = h.repartition("id").localCheckpointFlat(eager=True)
+    pot_runner = SuperstepRunner(spark, "johnson_potentials")
+    rounds = min(max_iter, n + 1)
+    for it in range(rounds):
+        relaxed = (
+            h.select(F.col("id").alias("src"), "h")
+            .join(arcs, "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("h") + F.col("weight")).alias("cand"))
+            .withColumnRenamed("dst", "id")
+        )
+        new_h = (
+            h.withColumnRenamed("h", "_old")
+            .join(relaxed, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("_old"), F.coalesce("cand", F.col("_old"))).alias("h"),
+                "_old",
+            )
+        )
+        new_h = pot_runner.materialize(new_h, it)
+        changed = new_h.filter(F.col("h") < F.col("_old")).count()
+        pot_runner.finish_iteration(it, float(changed))
+        h = new_h.drop("_old")
+        if changed == 0:
+            break
+        if it >= n:
+            # a potential still improving after |V| rounds can only be
+            # walking a negative cycle (IGRAPH_ENEGLOOP)
+            raise ValueError("negative cycle detected (igraph errors likewise)")
+
+    h_src = h.select(F.col("id").alias("src"), F.col("h").alias("_h_src"))
+    h_dst = h.select(F.col("id").alias("dst"), F.col("h").alias("_h_dst"))
+    reweighted = (
+        arcs.join(h_src, "src")
+        .join(h_dst, "dst")
+        .select(
+            "src", "dst",
+            # clamp: w' is >= 0 up to float rounding on tight triangles
+            F.greatest(
+                F.col("weight") + F.col("_h_src") - F.col("_h_dst"), F.lit(0.0)
+            ).alias("weight"),
+        )
+    )
+    g2 = LinkGraph(reweighted, directed=True, n=n)
+    d = shortest_paths(
+        g2, sources, mode="out", weighted=True, max_iter=max_iter, runner=runner
+    )
+    return (
+        d.join(h.select(F.col("id").alias("source"), F.col("h").alias("_h_src")),
+               "source")
+        .join(h.select("id", F.col("h").alias("_h_dst")), "id")
+        .select(
+            "source", "id",
+            (F.col("dist") - F.col("_h_src") + F.col("_h_dst")).alias("dist"),
+        )
+    )
+
+
 def distances_from(
     graph: LinkGraph, source: int, mode: str = "out", weighted: bool = False
 ) -> DataFrame:

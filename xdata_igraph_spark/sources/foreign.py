@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import re
+import struct
 import xml.etree.ElementTree as ET
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -475,3 +476,66 @@ def read_dl(spark: SparkSession, path: str, directed: bool = True) -> LinkGraph:
     else:
         raise ValueError(f"unsupported DL format {fmt!r}")
     return LinkGraph(_edges_df(spark, rows), directed=directed, n=n)
+
+
+# ---------------------------------------------------------------------------
+# graphdb (binary, ARG isomorphism-benchmark database)
+# ---------------------------------------------------------------------------
+
+
+def read_graphdb(
+    spark: SparkSession, path: str, directed: bool = False
+) -> LinkGraph:
+    """Read the binary "graph database" format used by the ARG
+    isomorphism benchmarks — igraph_read_graph_graphdb
+    (/root/reference/src/foreign.c:921).
+
+    The file is a sequence of 16-bit little-endian words: the vertex
+    count, then per vertex its out-edge count followed by that many
+    0-based target ids. Unlabelled graphs only; a short file is an
+    error ("Truncated graphdb file"), matching the reference.
+    """
+    size = os.path.getsize(path)
+    if size > MAX_TEXT_BYTES:
+        raise ValueError(
+            f"{path} is {size} bytes; interchange-format parsing is "
+            f"driver-side and capped at {MAX_TEXT_BYTES}"
+        )
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 2 or len(data) % 2:
+        raise ValueError("Truncated graphdb file")
+    words = struct.unpack(f"<{len(data) // 2}H", data)
+    n = words[0]
+    pos = 1
+    rows: list[tuple[int, int, float]] = []
+    for i in range(n):
+        if pos >= len(words):
+            raise ValueError("Truncated graphdb file")
+        deg = words[pos]
+        pos += 1
+        if pos + deg > len(words):
+            raise ValueError("Truncated graphdb file")
+        for j in range(deg):
+            rows.append((i, int(words[pos + j]), 1.0))
+        pos += deg
+    return LinkGraph(_edges_df(spark, rows), directed=directed, n=n)
+
+
+def write_graphdb(graph: LinkGraph, path: str) -> None:
+    """Write the 16-bit binary graphdb format (round-trip counterpart
+    of :func:`read_graphdb`; the reference has no writer — provided so
+    fixtures can be produced without external data)."""
+    n = graph.vcount()
+    if n > 0xFFFF:
+        raise ValueError("graphdb words are 16-bit; |V| must be < 65536")
+    adj: dict[int, list[int]] = {}
+    for r in graph.edges.select("src", "dst").toLocalIterator():
+        adj.setdefault(int(r[0]), []).append(int(r[1]))
+    out = [n]
+    for i in range(n):
+        targets = sorted(adj.get(i, []))
+        out.append(len(targets))
+        out.extend(targets)
+    with open(path, "wb") as f:
+        f.write(struct.pack(f"<{len(out)}H", *out))
