@@ -4,6 +4,7 @@ import itertools
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from xdata_igraph_spark.graph import LinkGraph
 
@@ -192,3 +193,149 @@ def test_graphdb_truncated_raises(spark, tmp_path):
         f.write(struct.pack("<3H", 3, 2, 1))  # node0 promises 2 targets, has 1
     with pytest.raises(ValueError, match="Truncated"):
         read_graphdb(spark, p)
+
+
+def test_motifs_randesu_sample_full_equals_census(spark):
+    """cut_prob = 0 must reproduce the exact full census."""
+    from xdata_igraph_spark.operators.triangles import (
+        motifs_randesu_3,
+        motifs_randesu_3_sample,
+    )
+    from xdata_igraph_spark.sources.generators import famous
+
+    z = famous(spark, "zachary")
+    full = {r["isoclass"]: r["count"] for r in motifs_randesu_3(z).collect()}
+    samp = {
+        r["isoclass"]: r["count"]
+        for r in motifs_randesu_3_sample(z, (0.0, 0.0, 0.0)).collect()
+    }
+    assert samp[2] == full[2] and samp[3] == full[3]
+    assert full[3] == 45.0  # zachary triangles
+
+
+def test_motifs_randesu_sample_root_cut_exact(spark):
+    """With only the root coin active, counts must equal the brute-force
+    census restricted to triples whose minimum vertex passed the coin —
+    an exact check of the ESU decomposition (root = min vertex)."""
+    import itertools as it
+
+    from pyspark.sql import functions as F
+
+    from xdata_igraph_spark.operators.triangles import motifs_randesu_3_sample
+    from xdata_igraph_spark.sources.generators import famous
+
+    z = famous(spark, "zachary")
+    p0, seed, res = 0.6, 42, 1 << 24
+    # replicate the level-0 hash coin for every vertex
+    ids = spark.range(34).select(F.col("id"))
+    passed = {
+        r["id"]
+        for r in ids.filter(
+            (F.abs(F.xxhash64(F.lit(seed), F.lit(0), F.col("id"))) % res)
+            / float(res)
+            >= p0
+        ).collect()
+    }
+    edges = {
+        (min(r["src"], r["dst"]), max(r["src"], r["dst"]))
+        for r in z.edges.select("src", "dst").collect()
+    }
+
+    def connected(tri):
+        e = [tuple(sorted(p)) in edges for p in it.combinations(tri, 2)]
+        return sum(e) >= 2
+
+    want_path = want_tri = 0
+    for tri in it.combinations(range(34), 3):
+        if min(tri) not in passed or not connected(tri):
+            continue
+        ne = sum(tuple(sorted(p)) in edges for p in it.combinations(tri, 2))
+        if ne == 3:
+            want_tri += 1
+        else:
+            want_path += 1
+
+    got = {
+        r["isoclass"]: r["count"]
+        for r in motifs_randesu_3_sample(z, (p0, 0.0, 0.0), seed=seed).collect()
+    }
+    assert got[3] == float(want_tri)
+    assert got[2] == float(want_path)
+    assert 0 < got[3] < 45.0  # genuinely sampled
+
+
+def test_motifs_randesu_sample_deterministic_and_monotone(spark):
+    from xdata_igraph_spark.operators.triangles import motifs_randesu_3_sample
+    from xdata_igraph_spark.sources.generators import famous
+
+    z = famous(spark, "zachary")
+
+    def counts(p, seed=42):
+        return {
+            r["isoclass"]: r["count"]
+            for r in motifs_randesu_3_sample(z, p, seed=seed).collect()
+        }
+
+    a = counts((0.3, 0.3, 0.3))
+    b = counts((0.3, 0.3, 0.3))
+    assert (a[2], a[3]) == (b[2], b[3])  # same seed → identical
+    heavy = counts((0.8, 0.5, 0.5))
+    assert heavy[2] <= a[2] or heavy[3] <= a[3]
+
+
+def _path_of_cliques(spark, n_cliques=4, size=5):
+    """A PATH (not ring) of cliques: the ring's rotational symmetry makes
+    the leading eigenvalue degenerate, and any vector in that eigenspace
+    — including the one ARPACK would return in the reference — may cut
+    through cliques. The path has a simple leading eigenvalue, so exact
+    clique recovery is well-defined."""
+    edges = []
+    for c in range(n_cliques):
+        base = c * size
+        for i in range(size):
+            for j in range(i + 1, size):
+                edges.append((base + i, base + j))
+        if c + 1 < n_cliques:
+            edges.append((base + size - 1, (c + 1) * size))
+    return LinkGraph.from_pairs(
+        spark, edges, directed=False, n=n_cliques * size
+    )
+
+
+def test_leading_eigenvector_path_of_cliques(spark):
+    """Each clique must land in its own community (verified non-degenerate
+    in numpy: top eigenvalues 4.174 > 3.952; recursion stops at pure
+    cliques because their restricted B has leading eigenvalue 0)."""
+    from xdata_igraph_spark.operators.leading_eigenvector import (
+        leading_eigenvector_communities,
+    )
+
+    g = _path_of_cliques(spark)
+    got = {
+        r["id"]: r["label"]
+        for r in leading_eigenvector_communities(g).collect()
+    }
+    assert len(got) == 20
+    for c in range(4):
+        labels = {got[c * 5 + i] for i in range(5)}
+        assert len(labels) == 1, f"clique {c} split: {labels}"
+    assert len({got[c * 5] for c in range(4)}) == 4
+
+
+def test_leading_eigenvector_karate_modularity(spark):
+    """Newman 2006 reports Q≈0.393 on the karate club with this method;
+    require a comfortably-positive Q and determinism."""
+    from xdata_igraph_spark.operators.leading_eigenvector import (
+        leading_eigenvector_communities,
+    )
+    from xdata_igraph_spark.operators.lpa import modularity
+    from xdata_igraph_spark.sources.generators import famous
+
+    z = famous(spark, "zachary")
+    memb = leading_eigenvector_communities(z)
+    q = modularity(z, memb.select("id", F.col("label").alias("comm")))
+    assert q >= 0.35, q
+    again = leading_eigenvector_communities(z)
+    a = {(r["id"], r["label"]) for r in memb.collect()}
+    b = {(r["id"], r["label"]) for r in again.collect()}
+    assert a == b

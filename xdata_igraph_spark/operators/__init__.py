@@ -38,10 +38,14 @@ from xdata_igraph_spark.operators.bipartite import (
     bipartite_projection,
     maximum_bipartite_matching,
 )
+from xdata_igraph_spark.operators.leading_eigenvector import (
+    leading_eigenvector_communities,
+)
 from xdata_igraph_spark.operators.flow import (
     maxflow_value,
     st_mincut,
     mincut_value,
+    gomory_hu_tree,
     edge_connectivity,
     vertex_connectivity,
 )
@@ -81,9 +85,11 @@ __all__ = [
     "split_join_distance",
     "bipartite_projection",
     "maximum_bipartite_matching",
+    "leading_eigenvector_communities",
     "maxflow_value",
     "st_mincut",
     "mincut_value",
+    "gomory_hu_tree",
     "edge_connectivity",
     "vertex_connectivity",
 ]

@@ -256,3 +256,94 @@ def motifs_randesu_3(graph: LinkGraph) -> DataFrame:
         ],
         "isoclass int, count double",
     )
+
+
+def motifs_randesu_3_sample(
+    graph: LinkGraph,
+    cut_prob: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    seed: int = 42,
+) -> DataFrame:
+    """Sampled undirected size-3 motif counts → (isoclass, count)
+    (igraph_motifs_randesu with nonzero cut_prob,
+    /root/reference/src/motifs.c:269-346 — the RAND-ESU sampler of
+    Wernicke's FANMOD).
+
+    A deterministic ESU *instance*: every RNG draw of the reference
+    becomes a seeded hash coin, and branch order is ascending id, so
+    results are reproducible and the whole plan stays relational. The
+    structural guarantees are ESU's own:
+
+    - ``cut_prob == (0,0,0)`` enumerates every connected triple exactly
+      once — counts equal :func:`motifs_randesu_3`;
+    - any connected triple survives with probability exactly
+      ``(1-p0)(1-p1)(1-p2)`` — coins are drawn per root (level 0), per
+      first-extension branch (level 1), and per completion (level 2),
+      on the triple's unique ESU decomposition (root = min vertex,
+      first extension = min eligible neighbor). Divide counts by that
+      product for an unbiased estimate of the full census.
+
+    The level-0/1 coins prune whole subtrees BEFORE the joins run —
+    at cut_prob=(0.9,0,0) the wedge build touches ~10% of the roots —
+    which is the point of the sampler at 100-TB scale. Like the
+    reference, counts are the raw sampled counts (not rescaled);
+    isoclasses 0 and 1 (disconnected) are NaN.
+    """
+    p0, p1, p2 = (float(p) for p in cut_prob)
+    if not all(0.0 <= p < 1.0 for p in (p0, p1, p2)):
+        raise ValueError("cut probabilities must be in [0, 1)")
+
+    simple = _simple_undirected(graph)  # (a > b) canonical
+    sym = simple.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        simple.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+
+    res = 1 << 24
+
+    def keep(level: int, p_cut: float, *cols):
+        if p_cut <= 0.0:
+            return F.lit(True)
+        h = F.abs(F.xxhash64(F.lit(seed), F.lit(level), *cols)) % res
+        return (h / F.lit(float(res))) >= p_cut
+
+    # root a = min vertex of the subgraph; ext = neighbors of a above it
+    ext = (
+        sym.filter(F.col("v") > F.col("u"))
+        .select(F.col("u").alias("a"), F.col("v").alias("b"))
+        .filter(keep(0, p0, F.col("a")))
+    )
+    ext1 = ext.filter(keep(1, p1, F.col("a"), F.col("b")))
+
+    # branch A: both b and c adjacent to a (c picked later: c > b)
+    ext_c = ext.select("a", F.col("b").alias("c"))
+    trip_a = (
+        ext1.join(ext_c, "a")
+        .filter(F.col("c") > F.col("b"))
+        .filter(keep(2, p2, F.col("a"), F.col("b"), F.col("c")))
+    )
+    bc_edge = simple.select(
+        F.col("a").alias("c"), F.col("b")  # canonical has a > b, so (c, b) with c > b
+    )
+    closed = trip_a.join(bc_edge, ["b", "c"], "left_semi")
+    n_tri = closed.count()
+    n_path_a = trip_a.count() - n_tri
+
+    # branch B: c exclusive neighbor of b (c > a, c not adjacent to a)
+    nbr_b = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    trip_b = (
+        ext1.join(nbr_b, "b")
+        .filter((F.col("c") > F.col("a")) & (F.col("c") != F.col("b")))
+        .join(ext_c, ["a", "c"], "left_anti")
+        .filter(keep(2, p2, F.col("a"), F.col("b"), F.col("c")))
+    )
+    n_path_b = trip_b.count()
+
+    spark = graph.spark
+    return spark.createDataFrame(
+        [
+            (0, float("nan")),
+            (1, float("nan")),
+            (2, float(n_path_a + n_path_b)),
+            (3, float(n_tri)),
+        ],
+        "isoclass int, count double",
+    )

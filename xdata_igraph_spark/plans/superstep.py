@@ -232,6 +232,19 @@ class SuperstepRunner:
             )
         return out
 
+    def reprotect(self) -> None:
+        """Extend the protected baseline to every currently-persisted RDD.
+
+        For loops that introduce NEW loop-static tables mid-run (e.g. a
+        bisection round's within-community edge subset): the generation
+        sweep must treat them like the pre-loop edge tables, not like
+        superseded per-superstep state — dropping their checkpoint
+        blocks is unrecoverable (lineage was truncated)."""
+        if self._protected_rdds is not None:
+            self._protected_rdds = self._protected_rdds | set(
+                self._persistent_rdds()
+            )
+
     def _persistent_rdds(self):
         jmap = self.spark.sparkContext._jsc.getPersistentRDDs()
         return {int(k): jmap[k] for k in jmap.keySet().toArray()}
