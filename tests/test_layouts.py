@@ -1,0 +1,127 @@
+"""Drawing layouts: exact formulas, determinism, FR separation, RT invariants."""
+
+import math
+
+import pytest
+
+from xdata_igraph_spark.graph import LinkGraph
+from xdata_igraph_spark.operators.layouts import (
+    layout_bipartite,
+    layout_circle,
+    layout_fruchterman_reingold,
+    layout_grid,
+    layout_random,
+    layout_reingold_tilford,
+    layout_star,
+)
+from xdata_igraph_spark.sources.generators import ring, tree
+
+
+def coords(df):
+    return {int(r["id"]): (r["x"], r["y"]) for r in df.collect()}
+
+
+def test_circle_exact(spark):
+    g = ring(spark, 8, directed=False)
+    c = coords(layout_circle(g))
+    assert len(c) == 8
+    for i, (x, y) in c.items():
+        phi = 2 * math.pi * i / 8
+        assert abs(x - math.cos(phi)) < 1e-12
+        assert abs(y - math.sin(phi)) < 1e-12
+
+
+def test_star_center_skip(spark):
+    g = ring(spark, 5, directed=False)
+    c = coords(layout_star(g, center=2))
+    assert c[2] == (0.0, 0.0)
+    # angle index skips the center: ids 0,1,3,4 -> indices 0,1,2,3
+    step = 2 * math.pi / 4
+    for vid, idx in [(0, 0), (1, 1), (3, 2), (4, 3)]:
+        assert abs(c[vid][0] - math.cos(idx * step)) < 1e-12
+        assert abs(c[vid][1] - math.sin(idx * step)) < 1e-12
+
+
+def test_grid_rowmajor_and_width_inference(spark):
+    g = ring(spark, 7, directed=False)
+    c = coords(layout_grid(g))  # width = ceil(sqrt(7)) = 3
+    assert c[0] == (0.0, 0.0)
+    assert c[4] == (1.0, 1.0)
+    assert c[6] == (0.0, 2.0)
+    c2 = coords(layout_grid(g, width=7))
+    assert all(c2[i] == (float(i), 0.0) for i in range(7))
+
+
+def test_random_deterministic_in_bounds(spark):
+    g = ring(spark, 50, directed=False)
+    a, b = coords(layout_random(g, seed=7)), coords(layout_random(g, seed=7))
+    assert a == b
+    assert a != coords(layout_random(g, seed=8))
+    assert all(-1 <= x <= 1 and -1 <= y <= 1 for x, y in a.values())
+
+
+def test_bipartite_two_rows(spark):
+    g = LinkGraph.from_pairs(
+        spark, [(0, 3), (1, 3), (1, 4), (2, 4)], directed=False, n=5
+    )
+    types = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1)], "id long, type int"
+    )
+    c = coords(layout_bipartite(g, types, vgap=2.0))
+    assert [c[i][1] for i in range(5)] == [0.0, 0.0, 0.0, 2.0, 2.0]
+    assert [c[i][0] for i in range(3)] == [0.0, 1.0, 2.0]
+    assert [c[i][0] for i in (3, 4)] == [0.0, 1.0]
+
+
+def two_cliques_bridge():
+    e = []
+    for base in (0, 5):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                e.append((base + i, base + j))
+    e.append((0, 5))
+    return 10, e
+
+
+def test_fr_separates_cliques_and_is_deterministic(spark):
+    n, edges = two_cliques_bridge()
+    g = LinkGraph.from_pairs(spark, edges, directed=False, n=n)
+    pos = coords(layout_fruchterman_reingold(g, n_iter=30, seed=3))
+    assert len(pos) == n
+    assert all(math.isfinite(x) and math.isfinite(y) for x, y in pos.values())
+
+    def dist(a, b):
+        return math.dist(pos[a], pos[b])
+
+    intra = [dist(i, j) for i in range(5) for j in range(i + 1, 5)] + [
+        dist(i, j) for i in range(5, 10) for j in range(i + 1, 10)
+    ]
+    inter = [dist(i, j) for i in range(5) for j in range(5, 10)]
+    assert sum(intra) / len(intra) < sum(inter) / len(inter)
+
+    # seed changes the hash-based initial placement, hence the layout
+    other = coords(layout_fruchterman_reingold(g, n_iter=1, seed=4))
+    assert coords(layout_fruchterman_reingold(g, n_iter=1, seed=3)) != other
+
+
+def test_rt_binary_tree_invariants(spark):
+    g = tree(spark, 15, children=2)  # full 3-level binary tree
+    c = coords(layout_reingold_tilford(g, root=0))
+    assert len(c) == 15
+    # y = depth
+    for v in range(15):
+        depth = 0 if v == 0 else int(math.floor(math.log2(v + 1)))
+        assert c[v][1] == float(depth)
+    # parent centered over children
+    for p in range(7):
+        l, r = 2 * p + 1, 2 * p + 2
+        assert abs(c[p][0] - (c[l][0] + c[r][0]) / 2) < 1e-9
+    # leaves at distinct consecutive midpoints
+    leaf_x = sorted(c[v][0] for v in range(7, 15))
+    assert leaf_x == [i + 0.5 for i in range(8)]
+
+
+def test_rt_unreachable_omitted(spark):
+    g = LinkGraph.from_pairs(spark, [(0, 1), (2, 3)], directed=False, n=4)
+    c = coords(layout_reingold_tilford(g, root=0))
+    assert set(c) == {0, 1}

@@ -1,0 +1,169 @@
+"""Subgraph isomorphism vs a brute-force permutation oracle."""
+
+from itertools import permutations
+
+import pytest
+
+from tests.fixtures import ZACHARY_EDGES, ZACHARY_N
+from xdata_igraph_spark.graph import LinkGraph
+from xdata_igraph_spark.operators.structure import permute_vertices
+from xdata_igraph_spark.operators.subiso import (
+    count_automorphisms,
+    count_subisomorphisms,
+    isomorphic,
+    subisomorphic,
+    subisomorphisms,
+)
+from xdata_igraph_spark.sources.generators import famous, full, ring
+
+
+def brute_maps(n_host, host_edges, directed, p, pattern_edges, induced):
+    """All injective pattern→host maps, by exhaustive enumeration."""
+    if directed:
+        arcs = {(u, v) for u, v in host_edges}
+        p_arcs = {(u, v) for u, v in pattern_edges}
+    else:
+        arcs = {(u, v) for u, v in host_edges} | {(v, u) for u, v in host_edges}
+        p_arcs = {(u, v) for u, v in pattern_edges} | {
+            (v, u) for u, v in pattern_edges
+        }
+    out = set()
+    for m in permutations(range(n_host), p):
+        ok = True
+        for a in range(p):
+            for b in range(p):
+                if a == b and not directed:
+                    continue
+                want = (a, b) in p_arcs
+                have = (m[a], m[b]) in arcs
+                if want and not have:
+                    ok = False
+                elif induced and have and not want:
+                    ok = False
+                if not ok:
+                    break
+            # loops, undirected: check (a, a) once
+            if ok and not directed:
+                want = (a, a) in p_arcs
+                have = (m[a], m[a]) in arcs
+                if want and not have:
+                    ok = False
+                elif induced and have and not want:
+                    ok = False
+            if not ok:
+                break
+        if ok:
+            out.add(tuple(m))
+    return out
+
+
+def spark_maps(g, pattern, p=None, induced=False):
+    rows = subisomorphisms(g, pattern, n_pattern=p, induced=induced).collect()
+    return {tuple(r["map"]) for r in rows}
+
+
+BULL = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 4)]  # famous("bull")
+TRIANGLE = [(0, 1), (1, 2), (0, 2)]
+P3 = [(0, 1), (1, 2)]
+C4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+
+
+@pytest.mark.parametrize("induced", [False, True])
+@pytest.mark.parametrize("pattern,p", [(TRIANGLE, 3), (P3, 3), (C4, 4)])
+def test_undirected_bull_matches_brute(spark, pattern, p, induced):
+    g = LinkGraph.from_pairs(spark, BULL, directed=False, n=5)
+    assert spark_maps(g, pattern, p, induced) == brute_maps(
+        5, BULL, False, p, pattern, induced
+    )
+
+
+@pytest.mark.parametrize("induced", [False, True])
+def test_zachary_triangle_count(spark, induced):
+    g = LinkGraph.from_pairs(spark, ZACHARY_EDGES, directed=False, n=ZACHARY_N)
+    # triangles are complete, so induced == monomorphic: 45 * 6 maps
+    assert count_subisomorphisms(g, TRIANGLE, induced=induced) == 270
+
+
+def test_zachary_induced_p3_is_wedges_minus_triangles(spark):
+    g = LinkGraph.from_pairs(spark, ZACHARY_EDGES, directed=False, n=ZACHARY_N)
+    mono = count_subisomorphisms(g, P3, induced=False)
+    ind = count_subisomorphisms(g, P3, induced=True)
+    # each triangle contributes 6 center choices x ... : mono - ind = 6*45
+    assert mono - ind == 6 * 45
+    assert brute_wedges(g) * 2 == mono
+
+
+def brute_wedges(g):
+    import collections
+
+    deg = collections.Counter()
+    for u, v in ZACHARY_EDGES:
+        deg[u] += 1
+        deg[v] += 1
+    return sum(d * (d - 1) // 2 for d in deg.values())
+
+
+DIRECTED_HOST = [
+    (0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 0), (2, 3), (1, 4),
+    (5, 0), (5, 1), (4, 5), (2, 5), (3, 3),
+]
+CYCLE3 = [(0, 1), (1, 2), (2, 0)]
+TRANS_TRIAD = [(0, 1), (0, 2), (1, 2)]
+LOOP_PAT = [(0, 0), (0, 1)]
+
+
+@pytest.mark.parametrize("induced", [False, True])
+@pytest.mark.parametrize(
+    "pattern,p", [(CYCLE3, 3), (TRANS_TRIAD, 3), (LOOP_PAT, 2)]
+)
+def test_directed_matches_brute(spark, pattern, p, induced):
+    g = LinkGraph.from_pairs(spark, DIRECTED_HOST, directed=True, n=6)
+    assert spark_maps(g, pattern, p, induced) == brute_maps(
+        6, DIRECTED_HOST, True, p, pattern, induced
+    )
+
+
+def test_disconnected_pattern(spark):
+    g = LinkGraph.from_pairs(spark, BULL, directed=False, n=5)
+    pattern = [(0, 1), (2, 3)]  # two disjoint edges
+    assert spark_maps(g, pattern, 4, False) == brute_maps(
+        5, BULL, False, 4, pattern, False
+    )
+
+
+def test_subisomorphic_decision(spark):
+    g = LinkGraph.from_pairs(spark, BULL, directed=False, n=5)
+    assert subisomorphic(g, TRIANGLE)
+    assert not subisomorphic(g, C4)  # bull has no 4-cycle
+
+
+def test_automorphisms_known_groups(spark):
+    assert count_automorphisms(ring(spark, 6, directed=False)) == 12
+    assert count_automorphisms(full(spark, 4, directed=False)) == 24
+    assert count_automorphisms(famous(spark, "petersen")) == 120
+
+
+def test_isomorphic_permuted_self(spark):
+    g = LinkGraph.from_pairs(spark, BULL, directed=False, n=5)
+    mapping = spark.createDataFrame(
+        [(i, p) for i, p in enumerate([3, 0, 4, 1, 2])], "id long, new_id long"
+    )
+    h = permute_vertices(g, mapping)
+    assert isomorphic(g, h)
+
+
+def test_nonisomorphic_same_degree_sequence(spark):
+    c6 = ring(spark, 6, directed=False)
+    two_c3 = LinkGraph.from_pairs(
+        spark, [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)],
+        directed=False, n=6,
+    )
+    # both 2-regular on 6 vertices — degree test passes, VF2 must decide
+    assert not isomorphic(c6, two_c3)
+    assert isomorphic(c6, ring(spark, 6, directed=False))
+
+
+def test_isomorphic_guard(spark):
+    g = ring(spark, 300, directed=False)
+    with pytest.raises(ValueError, match="max_n"):
+        isomorphic(g, g)

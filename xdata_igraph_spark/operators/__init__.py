@@ -48,6 +48,42 @@ from xdata_igraph_spark.operators.flow import (
     gomory_hu_tree,
     edge_connectivity,
     vertex_connectivity,
+    edge_disjoint_paths,
+    vertex_disjoint_paths,
+    st_edge_connectivity,
+    st_vertex_connectivity,
+    adhesion,
+    cohesion,
+)
+from xdata_igraph_spark.operators.subiso import (
+    subisomorphisms,
+    count_subisomorphisms,
+    subisomorphic,
+    isomorphic,
+    count_isomorphisms,
+    count_automorphisms,
+)
+from xdata_igraph_spark.operators.epidemics import sir
+from xdata_igraph_spark.operators.walks import random_walks, walk_sentences
+from xdata_igraph_spark.operators.mst import minimum_spanning_tree, mst_total_weight
+from xdata_igraph_spark.operators.chordal import (
+    maximum_cardinality_search,
+    is_chordal,
+)
+from xdata_igraph_spark.operators.paths import get_all_simple_paths
+from xdata_igraph_spark.operators.biconnected import (
+    articulation_points,
+    bridges,
+    biconnected_components,
+)
+from xdata_igraph_spark.operators.layouts import (
+    layout_random,
+    layout_circle,
+    layout_star,
+    layout_grid,
+    layout_bipartite,
+    layout_fruchterman_reingold,
+    layout_reingold_tilford,
 )
 
 __all__ = [
@@ -92,4 +128,34 @@ __all__ = [
     "gomory_hu_tree",
     "edge_connectivity",
     "vertex_connectivity",
+    "edge_disjoint_paths",
+    "vertex_disjoint_paths",
+    "st_edge_connectivity",
+    "st_vertex_connectivity",
+    "adhesion",
+    "cohesion",
+    "subisomorphisms",
+    "count_subisomorphisms",
+    "subisomorphic",
+    "isomorphic",
+    "count_isomorphisms",
+    "count_automorphisms",
+    "sir",
+    "random_walks",
+    "walk_sentences",
+    "minimum_spanning_tree",
+    "mst_total_weight",
+    "maximum_cardinality_search",
+    "is_chordal",
+    "get_all_simple_paths",
+    "articulation_points",
+    "bridges",
+    "biconnected_components",
+    "layout_random",
+    "layout_circle",
+    "layout_star",
+    "layout_grid",
+    "layout_bipartite",
+    "layout_fruchterman_reingold",
+    "layout_reingold_tilford",
 ]

@@ -173,3 +173,38 @@ def clique_number(graph: LinkGraph) -> int:
         .first()
     )
     return int(row["m"] or 0)
+
+
+def largest_cliques(graph: LinkGraph) -> DataFrame:
+    """Cliques of maximum size (igraph_largest_cliques,
+    /root/reference/src/cliques.c:840) → (members, size)."""
+    allc = cliques(graph, min_size=1)
+    mx = allc.agg(F.max("size").alias("m")).first()["m"]
+    return allc.filter(F.col("size") == F.lit(mx))
+
+
+def independent_vertex_sets(
+    graph: LinkGraph, min_size: int = 0, max_size: int = 0
+) -> DataFrame:
+    """Independent vertex sets (igraph_independent_vertex_sets,
+    /root/reference/src/cliques.c:385) — the reference complements the
+    graph and lists cliques; identically here (complementer carries
+    the same documented O(n²) guard the reference's density pays)."""
+    return cliques(
+        graph.complementer(), min_size=max(min_size, 1), max_size=max_size
+    )
+
+
+def largest_independent_vertex_sets(graph: LinkGraph) -> DataFrame:
+    """igraph_largest_independent_vertex_sets (cliques.c:418)."""
+    return largest_cliques(graph.complementer())
+
+
+def maximal_independent_vertex_sets(graph: LinkGraph) -> DataFrame:
+    """igraph_maximal_independent_vertex_sets (cliques.c:613)."""
+    return maximal_cliques(graph.complementer(), min_size=1)
+
+
+def independence_number(graph: LinkGraph) -> int:
+    """igraph_independence_number (cliques.c:684)."""
+    return clique_number(graph.complementer())

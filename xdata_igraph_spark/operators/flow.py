@@ -295,3 +295,131 @@ def vertex_connectivity(
     if best is None:
         return n - 1  # complete graph: every pair adjacent
     return int(round(best))
+
+
+def edge_disjoint_paths(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    max_edges: int = 5_000_000,
+) -> int:
+    """Maximum number of pairwise edge-disjoint s→t paths
+    (igraph_edge_disjoint_paths, /root/reference/src/flow.c:2177):
+    by Menger's theorem, the unit-capacity maximum flow — each edge
+    row contributes capacity 1, so multi-edges count separately,
+    exactly like the reference's NULL-capacity maxflow."""
+    if source == target:
+        raise ValueError("source == target is not defined (reference errors)")
+    unit = LinkGraph(
+        graph.edges.select("src", "dst").withColumn("weight", F.lit(1.0)),
+        directed=graph.directed,
+        n=graph._n,
+    )
+    return int(round(maxflow_value(unit, source, target, max_edges=max_edges)))
+
+
+def st_edge_connectivity(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    max_edges: int = 5_000_000,
+) -> int:
+    """igraph_st_edge_connectivity (/root/reference/src/flow.c:2086) —
+    identical to :func:`edge_disjoint_paths` by Menger."""
+    return edge_disjoint_paths(graph, source, target, max_edges=max_edges)
+
+
+def _split_solve(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    max_edges: int,
+    drop_st_arc: bool,
+) -> float:
+    """Unit vertex-capacity s-t flow on the standard vertex-split
+    network (v → v_in=2v, v_out=2v+1; internal unit arc; graph arc
+    (u,v) → u_out→v_in with infinite capacity). Source side enters at
+    s_out, sink at t_in, so the endpoints' own capacities don't bind."""
+    if graph.ecount() > max_edges:
+        raise ValueError(f"refusing |E| > {max_edges}")
+    arcs = {
+        (int(r["src"]), int(r["dst"]))
+        for r in graph.edges.select("src", "dst").collect()
+        if r["src"] != r["dst"]
+    }
+    if not graph.directed:
+        arcs |= {(v, u) for u, v in arcs}
+    if drop_st_arc:
+        arcs.discard((source, target))
+        if not graph.directed:
+            arcs.discard((target, source))
+    ids = sorted({r["id"] for r in graph.vertices().collect()})
+    INF = float(len(ids) + 1)
+    cap: dict[tuple[int, int], float] = defaultdict(float)
+    adj: dict[int, set[int]] = defaultdict(set)
+
+    def add(u, v, c):
+        cap[(u, v)] += c
+        adj[u].add(v)
+        adj[v].add(u)
+
+    for v in ids:
+        add(2 * v, 2 * v + 1, 1.0)
+    for u, v in arcs:
+        add(2 * u + 1, 2 * v, INF)
+    return _ek_solve(cap, adj, 2 * source + 1, 2 * target)[0]
+
+
+def st_vertex_connectivity(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    neighbors: str = "error",
+    max_edges: int = 1_000_000,
+) -> int:
+    """Minimum vertex cut separating s from t
+    (igraph_st_vertex_connectivity, /root/reference/src/flow.c:1900).
+    ``neighbors`` handles adjacent endpoints like the reference's
+    IGRAPH_VCONN_NEI_* switch: "error" raises, "infinity" returns a
+    large value (no cut exists), "ignore" computes on the remaining
+    arcs."""
+    if source == target:
+        raise ValueError("source == target is not defined (reference errors)")
+    if neighbors not in ("error", "infinity", "ignore"):
+        raise ValueError(f"bad neighbors mode {neighbors!r}")
+    adjacent = graph.are_connected(source, target)
+    if adjacent and neighbors == "error":
+        raise ValueError("source and target are adjacent — no vertex cut")
+    if adjacent and neighbors == "infinity":
+        return 2**31 - 1
+    return int(round(_split_solve(graph, source, target, max_edges, adjacent)))
+
+
+def vertex_disjoint_paths(
+    graph: LinkGraph,
+    source: int,
+    target: int,
+    max_edges: int = 1_000_000,
+) -> int:
+    """Maximum number of internally vertex-disjoint s→t paths
+    (igraph_vertex_disjoint_paths, /root/reference/src/flow.c:2218):
+    s-t vertex connectivity with direct s-t edges removed, plus one if
+    any such edge existed (the reference adds exactly 1 regardless of
+    multiplicity)."""
+    if source == target:
+        raise ValueError("source == target is not defined (reference errors)")
+    adjacent = graph.are_connected(source, target)
+    base = int(round(_split_solve(graph, source, target, max_edges, adjacent)))
+    return base + (1 if adjacent else 0)
+
+
+def adhesion(graph: LinkGraph, max_edges: int = 5_000_000) -> int:
+    """igraph_adhesion (/root/reference/src/flow.c:2311) — synonym of
+    :func:`edge_connectivity`."""
+    return edge_connectivity(graph, max_edges=max_edges)
+
+
+def cohesion(graph: LinkGraph, max_edges: int = 1_000_000) -> int:
+    """igraph_cohesion (/root/reference/src/flow.c:2344) — synonym of
+    :func:`vertex_connectivity`."""
+    return vertex_connectivity(graph, max_edges=max_edges)

@@ -851,3 +851,77 @@ def get_all_shortest_paths(
     return done.select(
         F.lit(int(source)).alias("source"), "target", "dist", "path"
     )
+
+
+def get_all_simple_paths(
+    graph: LinkGraph,
+    v_from: int,
+    to: list[int] | None = None,
+    cutoff: int = -1,
+    mode: str = "out",
+    max_level_rows: int = 10_000_000,
+) -> DataFrame:
+    """All simple paths from ``v_from`` to the ``to`` vertices
+    (igraph_get_all_simple_paths, /root/reference/src/paths.c:60) →
+    one row per path, ``path: array<long>`` including both endpoints,
+    ``target``, ``length``. ``cutoff`` bounds the path length in edges
+    (-1 = unbounded, like the reference).
+
+    The reference DFS-backtracks; the relational plan is frontier
+    extension — level k holds every simple path of length k as an
+    array, extended by one arc join + an array_contains filter. The
+    simple-path count is worst-case factorial, so each level is
+    row-guarded like cliques.py (the reference would OOM on the same
+    inputs; the guard fails loudly instead)."""
+    arcs = (
+        _edges_for_mode(graph, mode)
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpointFlat(eager=True)
+    )
+    spark = graph.spark
+    targets = None if to is None else {int(t) for t in to}
+
+    level = spark.createDataFrame(
+        [([int(v_from)], int(v_from))], "path array<bigint>, last bigint"
+    )
+    out: list[DataFrame] = []
+    k = 0
+    while True:
+        keep = level
+        if targets is not None:
+            keep = keep.filter(F.col("last").isin(*targets))
+        if k > 0 or targets is None or int(v_from) in targets:
+            out.append(
+                keep.select(
+                    "path",
+                    F.col("last").alias("target"),
+                    F.lit(k).alias("length"),
+                )
+            )
+        if cutoff >= 0 and k >= cutoff:
+            break
+        nxt = (
+            level.join(arcs.withColumnRenamed("src", "last"), "last")
+            .filter(~F.array_contains("path", F.col("dst")))
+            .select(
+                F.concat("path", F.array("dst")).alias("path"),
+                F.col("dst").alias("last"),
+            )
+            .localCheckpointFlat(eager=True)
+        )
+        n = nxt.count()
+        if n == 0:
+            break
+        if n > max_level_rows:
+            raise ValueError(
+                f"simple-path level {k + 1} holds {n} paths "
+                f"(> max_level_rows={max_level_rows}); set a cutoff"
+            )
+        level = nxt
+        k += 1
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

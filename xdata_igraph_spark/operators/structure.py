@@ -215,7 +215,16 @@ def permute_vertices(graph: LinkGraph, mapping: DataFrame) -> LinkGraph:
             F.col("nsrc").alias("src"), F.col("ndst").alias("dst"), "weight"
         )
     )
-    return LinkGraph(e, directed=graph.directed, n=graph._n)
+    if graph._n is not None:
+        return LinkGraph(e, directed=graph.directed, n=graph._n)
+    # carry the permuted vertex set — deriving it from edges would drop
+    # isolated vertices (they exist in the reference's permutation too)
+    verts = (
+        graph.vertices()
+        .join(mapping, "id")
+        .select(F.col("new_id").alias("id"))
+    )
+    return LinkGraph(e, directed=graph.directed, vertices=verts)
 
 
 TRIAD_NAMES = [
