@@ -445,13 +445,13 @@ def _q_bipartite_projection(spark, sf_dir):
     e = (
         li.select(
             F.col("l_orderkey").alias("src"),
-            (100000 + F.col("l_partkey") % 500).alias("dst"),
+            (1000000000 + F.col("l_partkey") % 500).alias("dst"),
         )
         .distinct()
         .withColumn("weight", F.lit(1.0))
     )
     g = LinkGraph(e, directed=False)
-    types = g.vertices().select("id", (F.col("id") >= 100000).alias("type"))
+    types = g.vertices().select("id", (F.col("id") >= 1000000000).alias("type"))
     return bipartite_projection(g, types, which=1)
 
 
@@ -1742,7 +1742,7 @@ FROM pts p LEFT JOIN deg ON deg.id = p.id"""
 
     sql["bipartite_projection"] = """WITH
 arcs AS (
-  SELECT DISTINCT l_orderkey AS u, 100000 + l_partkey % 500 AS w
+  SELECT DISTINCT l_orderkey AS u, 1000000000 + l_partkey % 500 AS w
   FROM lineitem
 )
 SELECT t1.w AS src, t2.w AS dst, count(*) AS multiplicity

@@ -115,3 +115,20 @@ def test_matching_random_vs_bruteforce(spark):
         g, types = _bip(spark, arcs, 10)
         size, _ = maximum_bipartite_matching(g, types)
         assert size == _brute_matching(arcs), arcs
+
+
+def test_untyped_endpoint_raises(spark):
+    from xdata_igraph_spark.operators.bipartite import bipartite_projection
+
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(0, 10, 1.0), (1, 11, 1.0)], "src long, dst long, weight double"
+        ),
+        directed=False,
+    )
+    # types covers only 3 of the 4 endpoints: must raise, not truncate
+    types = spark.createDataFrame(
+        [(0, False), (1, False), (10, True)], "id long, type boolean"
+    )
+    with pytest.raises(ValueError, match="cover"):
+        bipartite_projection(g, types)

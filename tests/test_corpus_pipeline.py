@@ -118,3 +118,29 @@ def test_ncol_roundtrip(spark, tmp_path):
         (nm[r["src"]], nm[r["dst"]], r["weight"]) for r in g2.edges.collect()
     }
     assert got == {("a", "b", 2.5), ("b", "c", 1.5)}
+
+
+def test_read_pages_parquet_path_and_table(spark, tmp_path):
+    from xdata_igraph_spark.sources.corpus import read_pages, synthetic_pages
+
+    pages = synthetic_pages(spark, 20)
+    out = str(tmp_path / "pages.parquet")
+    pages.write.parquet(out)
+
+    # path branch: no Iceberg connector in this sandbox -> parquet fallback
+    got = read_pages(spark, out)
+    assert got.columns == ["page_id", "url", "warc_ts", "html", "text", "lang"]
+    assert got.count() == 20
+
+    # catalog-identifier branch via a temp view (same resolution rule
+    # spark.read.table applies to Iceberg/Hive tables)
+    pages.createOrReplaceTempView("pages_corpus_v")
+    got2 = read_pages(spark, "pages_corpus_v")
+    assert got2.count() == 20
+
+    # missing required column -> descriptive error
+    pages.drop("lang").createOrReplaceTempView("pages_bad_v")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lang"):
+        read_pages(spark, "pages_bad_v")

@@ -69,3 +69,19 @@ def test_sir_bad_rates_raise(spark):
     g = ring(spark, 4, directed=False)
     with pytest.raises(ValueError, match="non-negative"):
         sir(g, beta=-1.0, gamma=0.1)
+
+
+def test_sir_noncontiguous_ids_seed_one_infection(spark):
+    # vertex ids {10,11,12,13}: patient zero must be drawn from the
+    # ACTUAL vertex set, so step 0 always has exactly one infected
+    edges = [(10, 11, 1.0), (11, 12, 1.0), (12, 13, 1.0)]
+    g = LinkGraph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False,
+    )
+    rows = census_rows(sir(g, beta=1.0, gamma=0.5, no_sim=3, max_steps=10))
+    for s_id in range(3):
+        step0 = [r for r in rows if r[0] == s_id and r[1] == 0]
+        assert len(step0) == 1
+        _, _, _, ns, ni, nr = step0[0]
+        assert (ns, ni, nr) == (3, 1, 0)

@@ -125,3 +125,107 @@ def test_rt_unreachable_omitted(spark):
     g = LinkGraph.from_pairs(spark, [(0, 1), (2, 3)], directed=False, n=4)
     c = coords(layout_reingold_tilford(g, root=0))
     assert set(c) == {0, 1}
+
+
+def _pairwise_corr(c, gdist):
+    """Pearson correlation between embedded and graph distances."""
+    xs, ys = [], []
+    ids = sorted(c)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            i, j = ids[a], ids[b]
+            (x1, y1), (x2, y2) = c[i], c[j]
+            xs.append(math.hypot(x1 - x2, y1 - y2))
+            ys.append(gdist[(i, j)])
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    sxx = math.sqrt(sum((x - mx) ** 2 for x in xs))
+    syy = math.sqrt(sum((y - my) ** 2 for y in ys))
+    return sxy / (sxx * syy)
+
+
+def test_kk_path_recovers_distances(spark):
+    # P8: full-pivot KK (p=n) must embed so that euclidean distance
+    # tracks graph distance almost perfectly (a path is isometrically
+    # embeddable in the line, so stress ~ 0 and correlation -> 1)
+    from xdata_igraph_spark.operators.layouts import layout_kamada_kawai
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(7)], "src long, dst long, weight double"
+    )
+    g = LinkGraph(edges, directed=False, n=8)
+    c = coords(layout_kamada_kawai(g, n_pivots=8, n_iter=100, tol=1e-9))
+    assert len(c) == 8
+    gdist = {(i, j): abs(i - j) for i in range(8) for j in range(i + 1, 8)}
+    assert _pairwise_corr(c, gdist) > 0.95
+
+
+def test_kk_ring_near_circular_and_deterministic(spark):
+    from xdata_igraph_spark.operators.layouts import layout_kamada_kawai
+
+    g = ring(spark, 10, directed=False)
+    c1 = coords(layout_kamada_kawai(g, n_pivots=10, n_iter=60))
+    c2 = coords(layout_kamada_kawai(g, n_pivots=10, n_iter=60))
+    # hash pivots + circle start: deterministic up to double-sum
+    # merge order in the aggregates
+    assert set(c1) == set(c2)
+    assert all(math.dist(c1[i], c2[i]) < 1e-6 for i in c1)
+    gdist = {
+        (i, j): min((j - i) % 10, (i - j) % 10)
+        for i in range(10)
+        for j in range(i + 1, 10)
+    }
+    assert _pairwise_corr(c1, gdist) > 0.9
+
+
+def test_kk_sparse_pivots_and_disconnected(spark):
+    # two disjoint P4s, fewer pivots than vertices: every vertex gets
+    # finite coordinates and the components stay internally ordered
+    from xdata_igraph_spark.operators.layouts import layout_kamada_kawai
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(3)]
+        + [(i, i + 1, 1.0) for i in range(10, 13)],
+        "src long, dst long, weight double",
+    )
+    vids = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "id long"
+    )
+    g = LinkGraph(edges, directed=False, vertices=vids)
+    c = coords(layout_kamada_kawai(g, n_pivots=3, n_iter=60))
+    assert len(c) == 8
+    assert all(math.isfinite(x) and math.isfinite(y) for x, y in c.values())
+    # within each P4, endpoints are farther apart than adjacent pairs
+    for base in (0, 10):
+        d01 = math.dist(c[base], c[base + 1])
+        d03 = math.dist(c[base], c[base + 3])
+        assert d03 > d01
+
+
+def test_kk_stress_drops_from_circle_start(spark):
+    # the majorization must beat the initial circle placement: compare
+    # full-pair stress of the result vs the r0-circle for a star graph
+    from xdata_igraph_spark.operators.layouts import layout_kamada_kawai
+    from xdata_igraph_spark.sources.generators import star
+
+    g = star(spark, 9, mode="undirected")
+    c = coords(layout_kamada_kawai(g, n_pivots=9, n_iter=80, tol=1e-9))
+    gdist = {}
+    for i in range(9):
+        for j in range(i + 1, 9):
+            gdist[(i, j)] = 1.0 if 0 in (i, j) else 2.0
+
+    def stress(cc):
+        s = 0.0
+        for (i, j), d in gdist.items():
+            e = math.dist(cc[i], cc[j])
+            s += (e - d) ** 2 / d**2
+        return s
+
+    n, r0 = 9, 1.0  # d_max=2 -> r0=1
+    circ = {
+        i: (r0 * math.cos(2 * math.pi * i / n), r0 * math.sin(2 * math.pi * i / n))
+        for i in range(n)
+    }
+    assert stress(c) < 0.5 * stress(circ)

@@ -339,3 +339,31 @@ def test_leading_eigenvector_karate_modularity(spark):
     a = {(r["id"], r["label"]) for r in memb.collect()}
     b = {(r["id"], r["label"]) for r in again.collect()}
     assert a == b
+
+
+def test_graphdb_out_of_range_target_raises(spark, tmp_path):
+    import struct
+
+    from xdata_igraph_spark.sources.foreign import read_graphdb
+
+    # 2 vertices; vertex 0 declares an edge to vertex 7 (>= n)
+    p = os.path.join(tmp_path, "bad.gdb")
+    with open(p, "wb") as f:
+        f.write(struct.pack("<5H", 2, 1, 7, 0, 0))
+    with pytest.raises(ValueError, match=">= vertex count"):
+        read_graphdb(spark, p)
+
+
+def test_johnson_unconverged_max_iter_raises(spark):
+    from xdata_igraph_spark.operators.paths import johnson_all_pairs
+
+    # negative chain longer than max_iter: potentials can't settle in 2
+    # rounds; must raise rather than silently clamp reweighted arcs
+    edges = [(i, i + 1, -1.0) for i in range(6)]
+    g = LinkGraph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=True,
+        n=7,
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        johnson_all_pairs(g, max_iter=2)

@@ -167,3 +167,32 @@ def test_isomorphic_guard(spark):
     g = ring(spark, 300, directed=False)
     with pytest.raises(ValueError, match="max_n"):
         isomorphic(g, g)
+
+
+def test_isomorphic_rejects_multigraphs(spark):
+    from xdata_igraph_spark.operators.subiso import isomorphic
+
+    # doubled edge (0,1) vs doubled edge (1,2): collapsing to the simple
+    # support would wrongly report isomorphic — must raise instead
+    g1 = LinkGraph.from_pairs(
+        spark, [(0, 1), (0, 1), (1, 2), (2, 3)], directed=False, n=4
+    )
+    g2 = LinkGraph.from_pairs(
+        spark, [(0, 1), (1, 2), (1, 2), (2, 3)], directed=False, n=4
+    )
+    with pytest.raises(ValueError, match="simple graph"):
+        isomorphic(g1, g2)
+
+
+def test_subisomorphic_probe_and_fallback_agree(spark):
+    from xdata_igraph_spark.operators.subiso import subisomorphic
+    from xdata_igraph_spark.sources.generators import ring
+
+    g = ring(spark, 12, directed=False)
+    tri = [(0, 1), (1, 2), (2, 0)]
+    path3 = [(0, 1), (1, 2)]
+    # probe ON vs OFF must agree in both directions
+    assert subisomorphic(g, tri) is False
+    assert subisomorphic(g, tri, probe_roots=0) is False
+    assert subisomorphic(g, path3) is True
+    assert subisomorphic(g, path3, probe_roots=0) is True

@@ -38,6 +38,12 @@ from xdata_igraph_spark.operators.bipartite import (
     bipartite_projection,
     maximum_bipartite_matching,
 )
+from xdata_igraph_spark.operators.infomap import (
+    codelength,
+    codelength_directed,
+    infomap_communities,
+    infomap_communities_directed,
+)
 from xdata_igraph_spark.operators.leading_eigenvector import (
     leading_eigenvector_communities,
 )
@@ -83,6 +89,7 @@ from xdata_igraph_spark.operators.layouts import (
     layout_grid,
     layout_bipartite,
     layout_fruchterman_reingold,
+    layout_kamada_kawai,
     layout_reingold_tilford,
 )
 
@@ -121,6 +128,10 @@ __all__ = [
     "split_join_distance",
     "bipartite_projection",
     "maximum_bipartite_matching",
+    "codelength",
+    "codelength_directed",
+    "infomap_communities",
+    "infomap_communities_directed",
     "leading_eigenvector_communities",
     "maxflow_value",
     "st_mincut",
@@ -157,5 +168,6 @@ __all__ = [
     "layout_grid",
     "layout_bipartite",
     "layout_fruchterman_reingold",
+    "layout_kamada_kawai",
     "layout_reingold_tilford",
 ]

@@ -43,9 +43,16 @@ def _typed_edges(graph: LinkGraph, types: DataFrame) -> DataFrame:
     )
     e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     j = (
-        e.join(t.select(F.col("id").alias("src"), F.col("type").alias("ts")), "src")
-        .join(t.select(F.col("id").alias("dst"), F.col("type").alias("td")), "dst")
+        e.join(t.select(F.col("id").alias("src"), F.col("type").alias("ts")), "src", "left")
+        .join(t.select(F.col("id").alias("dst"), F.col("type").alias("td")), "dst", "left")
     )
+    untyped = j.filter(F.col("ts").isNull() | F.col("td").isNull()).limit(1).count()
+    if untyped:
+        raise ValueError(
+            "types does not cover every edge endpoint — an incomplete "
+            "type vector would silently truncate the graph (the "
+            "reference requires a full types vector)"
+        )
     bad = j.filter(F.col("ts") == F.col("td")).limit(1).count()
     if bad:
         raise ValueError(

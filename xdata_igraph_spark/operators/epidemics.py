@@ -63,12 +63,20 @@ def sir(
     )
 
     sims = spark.range(no_sim).select(F.col("id").cast("int").alias("sim"))
-    patient_zero = F.pmod(F.xxhash64(F.col("sim"), F.lit(seed), F.lit("p0")), F.lit(n))
+    # patient zero: the vertex minimizing xxhash64(sim, id) — uniform
+    # over the ACTUAL vertex set (ids need not be contiguous 0..n-1),
+    # deterministic, one aggregate (no driver-side vertex list)
+    grid = sims.crossJoin(graph.vertices())
+    h0 = F.xxhash64(F.col("sim"), F.col("id"), F.lit(seed), F.lit("p0"))
+    p0 = (
+        grid.groupBy("sim")
+        .agg(F.min_by(F.col("id"), F.struct(h0, F.col("id"))).alias("p0"))
+    )
     state = (
-        sims.crossJoin(graph.vertices())
+        grid.join(F.broadcast(p0), "sim")
         .select(
             "sim", "id",
-            F.when(F.col("id") == patient_zero, F.lit(I)).otherwise(F.lit(S)).alias("state"),
+            F.when(F.col("id") == F.col("p0"), F.lit(I)).otherwise(F.lit(S)).alias("state"),
         )
         .localCheckpointFlat(eager=True)
     )

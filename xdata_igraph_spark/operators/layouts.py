@@ -347,3 +347,153 @@ def layout_reingold_tilford(
             F.col("depth").cast("double").alias("y"),
         )
     )
+
+
+def layout_kamada_kawai(
+    graph: LinkGraph,
+    n_pivots: int = 64,
+    n_iter: int = 50,
+    tol: float = 1e-4,
+    weighted: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Kamada-Kawai layout (igraph_layout_kamada_kawai,
+    /root/reference/src/layout.c — stress over graph-theoretic
+    distances) as pivot-based sparse stress majorization.
+
+    The reference minimizes sum_{i<j} (|p_i - p_j| - d_ij)^2 / d_ij^2
+    over ALL vertex pairs, which needs the full O(n^2) distance matrix
+    — a non-starter at web scale. The established sparse relaxation
+    (pivot MDS / sparse stress) keeps only the terms anchored at p
+    pivot vertices, so the state is the (vertex, pivot) distance table
+    — O(n * p) rows, linear in n for fixed p — and each majorization
+    sweep is ONE broadcast join + ONE groupBy("id") aggregate:
+
+    - pivots: the p vertices with the smallest xxhash64(id, seed) —
+      a deterministic uniform sample (no RNG state, reproducible on
+      any cluster size);
+    - distances: one batched multi-source BFS (operators/paths.py)
+      over mode="all" — p sources advance together, supersteps =
+      graph diameter, not p * diameter; unreachable pairs (disconnected
+      graphs) take d_max + 1, the same finite-surrogate the dense
+      solvers use;
+    - update: simultaneous (Jacobi) SMACOF — every vertex, pivots
+      included, moves to the weighted barycenter of its pivot targets
+      computed from the PREVIOUS sweep's positions; pivot positions
+      (p rows) are collected and broadcast, so the big table joins a
+      tiny one and never self-joins;
+    - convergence: the pivot-restricted stress is re-aggregated from
+      the checkpointed positions each sweep; the loop stops when its
+      relative drop falls below ``tol``.
+
+    With n_pivots >= n every vertex is a pivot and this IS full
+    Kamada-Kawai stress (up to the majorization fixpoint); the tests
+    exercise that limit against the embedded-vs-graph distance
+    correlation on paths and rings.
+    """
+    from xdata_igraph_spark.operators.paths import shortest_paths
+
+    spark = graph.spark
+    n = graph.vcount()
+    if n == 0:
+        return spark.createDataFrame([], "id long, x double, y double")
+    if n == 1:
+        return graph.vertices().select(
+            "id", F.lit(0.0).alias("x"), F.lit(0.0).alias("y")
+        )
+
+    p = min(n, n_pivots)
+    pivot_ids = [
+        r["id"]
+        for r in graph.vertices()
+        .select("id", F.xxhash64(F.col("id"), F.lit(seed)).alias("h"))
+        .orderBy("h", "id")
+        .limit(p)
+        .collect()
+    ]
+
+    dist = shortest_paths(graph, sources=pivot_ids, mode="all", weighted=weighted)
+    d_max = dist.agg(F.max("dist")).first()[0] or 1.0
+    # complete (vertex x pivot) grid; unreachable -> d_max + 1
+    piv_df = spark.createDataFrame([(int(s),) for s in pivot_ids], "source long")
+    grid = (
+        graph.vertices()
+        .crossJoin(F.broadcast(piv_df))
+        .join(dist, ["source", "id"], "left")
+        .select(
+            "source",
+            "id",
+            F.coalesce("dist", F.lit(float(d_max) + 1.0)).alias("d"),
+        )
+        .filter(F.col("d") > 0)  # drop pivot self-terms (1/d^2 pole)
+        .withColumn("w", 1.0 / (F.col("d") * F.col("d")))
+        .repartition("id")
+        .localCheckpointFlat(eager=True)
+    )
+
+    # circle start at the distance scale of the graph (the reference
+    # also seeds KK from a circle when no initial layout is given)
+    r0 = float(d_max) / 2.0
+    phi = F.col("id") * (2.0 * math.pi / n)
+    pos = graph.vertices().select(
+        "id", (F.lit(r0) * F.cos(phi)).alias("x"), (F.lit(r0) * F.sin(phi)).alias("y")
+    ).localCheckpointFlat(eager=True)
+
+    eps = 1e-9
+    prev_stress = None
+    for _ in range(n_iter):
+        prows = {
+            r["id"]: (r["x"], r["y"])
+            for r in pos.join(F.broadcast(piv_df.withColumnRenamed("source", "id")), "id").collect()
+        }
+        ppos = spark.createDataFrame(
+            [(int(s), float(x), float(y)) for s, (x, y) in prows.items()],
+            "source long, px double, py double",
+        )
+        pairs = (
+            grid.join(F.broadcast(ppos), "source")
+            .join(pos, "id")
+            .withColumn(
+                "delta",
+                F.sqrt(
+                    (F.col("x") - F.col("px")) ** 2 + (F.col("y") - F.col("py")) ** 2
+                )
+                + eps,
+            )
+        )
+        agg = (
+            pairs.groupBy("id")
+            .agg(
+                F.sum(
+                    F.col("w")
+                    * (F.col("px") + F.col("d") * (F.col("x") - F.col("px")) / F.col("delta"))
+                ).alias("nx"),
+                F.sum(
+                    F.col("w")
+                    * (F.col("py") + F.col("d") * (F.col("y") - F.col("py")) / F.col("delta"))
+                ).alias("ny"),
+                F.sum("w").alias("sw"),
+                F.sum(F.col("w") * (F.col("delta") - F.col("d")) ** 2).alias("s"),
+            )
+        )
+        # left join keeps a vertex whose every pivot term was the
+        # dropped self-pair (only possible when p == 1)
+        pos = (
+            pos.withColumnRenamed("x", "_x").withColumnRenamed("y", "_y")
+            .join(agg, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("nx") / F.col("sw"), F.col("_x")).alias("x"),
+                F.coalesce(F.col("ny") / F.col("sw"), F.col("_y")).alias("y"),
+                F.coalesce("s", F.lit(0.0)).alias("s"),
+            )
+            .localCheckpointFlat(eager=True)
+        )
+        stress = pos.agg(F.sum("s")).first()[0]
+        pos = pos.drop("s")
+        if prev_stress is not None and prev_stress > 0:
+            if abs(prev_stress - stress) / prev_stress < tol:
+                break
+        prev_stress = stress
+
+    return pos

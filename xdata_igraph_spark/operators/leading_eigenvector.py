@@ -108,6 +108,7 @@ def leading_eigenvector_communities(
         if act.limit(1).count() == 0:
             break
         # within-community arcs among active communities (static per round)
+        release_round = runner.protect_scope()
         cs = act.select(F.col("id").alias("src"), F.col("comm"))
         cd = act.select(F.col("id").alias("dst"), F.col("comm").alias("_cd"))
         wedges = (
@@ -149,7 +150,9 @@ def leading_eigenvector_communities(
             ).alias("x"),
         ).localCheckpointFlat(eager=True)
         # this round's wedges/base/cinfo/x are loop-static for the inner
-        # power iteration: exempt them from the runner's generation sweep
+        # power iteration: exempt them from the runner's generation
+        # sweep; release_round() drops them once the round's successor
+        # state is checkpointed (else every round's statics pile up)
         runner.reprotect()
 
         def matvec(xdf, shifted: bool):
@@ -253,6 +256,7 @@ def leading_eigenvector_communities(
         if n_split == 0:
             state = state.withColumn("active", F.lit(False))
             state = state.localCheckpointFlat(eager=True)
+            release_round()
             break
         side = s.select("id", (F.col("x") > 0).alias("pos"))
         new_state = (
@@ -275,6 +279,7 @@ def leading_eigenvector_communities(
             )
         )
         state = new_state.localCheckpointFlat(eager=True)
+        release_round()
 
     return renumber_first_appearance(
         state.select("id", F.col("comm").alias("label"))

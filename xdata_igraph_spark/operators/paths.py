@@ -181,6 +181,7 @@ def johnson_all_pairs(
     h = h.repartition("id").localCheckpointFlat(eager=True)
     pot_runner = SuperstepRunner(spark, "johnson_potentials")
     rounds = min(max_iter, n + 1)
+    changed = 0
     for it in range(rounds):
         relaxed = (
             h.select(F.col("id").alias("src"), "h")
@@ -208,6 +209,14 @@ def johnson_all_pairs(
             # a potential still improving after |V| rounds can only be
             # walking a negative cycle (IGRAPH_ENEGLOOP)
             raise ValueError("negative cycle detected (igraph errors likewise)")
+    if changed:
+        # max_iter < |V|+1 cut the potential loop short: reweighting
+        # with unconverged potentials leaves genuinely negative arcs
+        # that the w+h(u)-h(v) clamp would silently zero
+        raise ValueError(
+            f"Johnson potentials did not converge within max_iter="
+            f"{max_iter} (< |V|+1={n + 1}); raise max_iter"
+        )
 
     h_src = h.select(F.col("id").alias("src"), F.col("h").alias("_h_src"))
     h_dst = h.select(F.col("id").alias("dst"), F.col("h").alias("_h_dst"))

@@ -72,6 +72,7 @@ def subisomorphisms(
     n_pattern: int | None = None,
     induced: bool = False,
     max_level_rows: int = 50_000_000,
+    root_limit: int | None = None,
 ) -> DataFrame:
     """All injective mappings of the pattern into ``graph`` →
     one row per mapping, column ``map`` (array<long>; ``map[i]`` is
@@ -142,6 +143,10 @@ def subisomorphisms(
         return c
 
     level = _candidates(order[0]).select(F.array("id").alias("ms"))
+    if root_limit is not None:
+        # decision-probe mode: only mappings rooted at a bounded subset
+        # of hosts — sound for "an embedding exists", NOT exhaustive
+        level = level.limit(root_limit)
     for k in range(1, p):
         v = order[k]
         placed = order[:k]
@@ -246,8 +251,21 @@ def subisomorphic(
     pattern_edges: Sequence[tuple[int, int]],
     n_pattern: int | None = None,
     induced: bool = False,
+    probe_roots: int = 1024,
 ) -> bool:
-    """igraph_subisomorphic_vf2 (topology.c:2482) decision form."""
+    """igraph_subisomorphic_vf2 (topology.c:2482) decision form.
+
+    Fast path: the enumeration is first restricted to ``probe_roots``
+    candidate hosts for the first pattern vertex — a completion there
+    is a sound True without materializing every partial mapping on a
+    large host. Only a probe miss falls back to the complete
+    enumeration, whose empty result is the sound False."""
+    if probe_roots:
+        hit = subisomorphisms(
+            graph, pattern_edges, n_pattern, induced, root_limit=probe_roots
+        ).take(1)
+        if hit:
+            return True
     return (
         subisomorphisms(graph, pattern_edges, n_pattern, induced).take(1) != []
     )
@@ -263,7 +281,22 @@ def _small_edge_list(graph: LinkGraph, max_n: int) -> tuple[int, list[tuple[int,
             "inputs"
         )
     rows = graph.edges.select("src", "dst").collect()
-    return n, [(int(r["src"]), int(r["dst"])) for r in rows]
+    arcs = [(int(r["src"]), int(r["dst"])) for r in rows]
+    canon = (
+        arcs
+        if graph.directed
+        else [(min(u, v), max(u, v)) for u, v in arcs]
+    )
+    if len(set(canon)) != len(canon) or any(u == v for u, v in arcs):
+        # collapsing multi-edges/loops to the simple support would make
+        # non-isomorphic multigraphs compare equal; the reference's VF2
+        # rejects them too (topology.c VF2 assumes simple graphs)
+        raise ValueError(
+            "whole-graph isomorphism requires a simple graph (no "
+            "multi-edges or loops); simplify() first if the collapsed "
+            "comparison is intended"
+        )
+    return n, arcs
 
 
 def isomorphic(g1: LinkGraph, g2: LinkGraph, max_n: int = 256) -> bool:

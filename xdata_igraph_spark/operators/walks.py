@@ -74,11 +74,16 @@ def random_walks(
         (F.col("id") * n_per_start + F.col("rep")).alias("walk_id"),
         F.col("id").alias("cur"),
     )
-    out = state.select(
-        "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
-    )
-    out = out.localCheckpointFlat(eager=True)
     state = state.localCheckpointFlat(eager=True)
+    # per-step levels collect in a Python list and union ONCE at the
+    # end (cliques.py/mst.py pattern): each level is already a severed
+    # checkpoint via `state`, so re-checkpointing the growing union
+    # every step would materialize O(length^2) rows
+    levels = [
+        state.select(
+            "walk_id", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+        )
+    ]
 
     for t in range(1, length + 1):
         coin = F.pmod(
@@ -111,11 +116,14 @@ def random_walks(
                 .select("walk_id", F.col("dst").alias("cur"))
             )
         state = nxt.localCheckpointFlat(eager=True)
-        out = out.unionByName(
+        levels.append(
             state.select(
                 "walk_id", F.lit(t).alias("step"), F.col("cur").alias("vertex")
             )
-        ).localCheckpointFlat(eager=True)
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
     return out
 
 

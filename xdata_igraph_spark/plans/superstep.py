@@ -232,6 +232,31 @@ class SuperstepRunner:
             )
         return out
 
+    def protect_scope(self):
+        """Snapshot the protected baseline for ONE phase's loop-static
+        tables (e.g. a bisection round's edge subset): call before
+        creating them, :meth:`reprotect` after, and the returned
+        ``release()`` once the phase's successor state has been
+        checkpointed. ``release()`` unpersists every RDD the phase
+        added to the baseline and restores the snapshot — without it,
+        a multi-round job protects every finished round's statics
+        forever and executor storage grows monotonically."""
+        if self._protected_rdds is None:
+            # same baseline semantics as materialize()'s first-call
+            # init: everything persisted before this point is loop-static
+            self._protected_rdds = set(self._persistent_rdds())
+        before = set(self._protected_rdds)
+
+        def release() -> None:
+            current = self._persistent_rdds()
+            for rid in self._protected_rdds - before:
+                rdd = current.get(rid)
+                if rdd is not None:
+                    rdd.unpersist(False)
+            self._protected_rdds = before
+
+        return release
+
     def reprotect(self) -> None:
         """Extend the protected baseline to every currently-persisted RDD.
 

@@ -116,3 +116,46 @@ def synthetic_pages(spark: SparkSession, n_pages: int) -> DataFrame:
         text_str.alias("text"),
         "lang",
     )
+
+
+PAGES_COLUMNS = ("url", "warc_ts", "html", "text", "lang")
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Load the pages corpus (BASELINE.json input_hint schema) from an
+    Iceberg/catalog table or a parquet path.
+
+    - ``source`` without a ``/`` is a catalog table identifier
+      (``catalog.db.pages``): resolved by ``spark.read.table`` — an
+      Iceberg table when an Iceberg catalog is configured on the
+      session, and equally a Hive table or temp view. This is the
+      production path: snapshot isolation, hidden partitioning
+      (``days(warc_ts)`` / ``bucket(url)``) and partition pruning all
+      come from the catalog, not from this engine.
+    - ``source`` with a ``/`` is a path: read with the Iceberg
+      DataSource if the runtime ships the connector, else plain
+      parquet (this sandbox has no Iceberg jar — the fallback IS the
+      tested path; the connector branch is format negotiation only).
+
+    Output is projected to the input_hint columns (plus ``page_id``
+    when present — the synthetic corpus carries it) so downstream
+    extractors see one schema regardless of the physical source;
+    missing required columns raise ValueError naming them.
+    """
+    if "/" in source:
+        try:
+            df = spark.read.format("iceberg").load(source)
+        except Exception:
+            df = spark.read.parquet(source)
+    else:
+        df = spark.read.table(source)
+
+    missing = [c for c in PAGES_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"pages source {source!r} lacks required columns {missing}; "
+            f"expected (url string, warc_ts timestamp, html binary, "
+            f"text string, lang string)"
+        )
+    keep = (["page_id"] if "page_id" in df.columns else []) + list(PAGES_COLUMNS)
+    return df.select(*keep)

@@ -517,7 +517,13 @@ def read_graphdb(
         if pos + deg > len(words):
             raise ValueError("Truncated graphdb file")
         for j in range(deg):
-            rows.append((i, int(words[pos + j]), 1.0))
+            tgt = int(words[pos + j])
+            if tgt >= n:
+                raise ValueError(
+                    f"graphdb edge target {tgt} >= vertex count {n} "
+                    f"(invalid file; the reference errors likewise)"
+                )
+            rows.append((i, tgt, 1.0))
         pos += deg
     return LinkGraph(_edges_df(spark, rows), directed=directed, n=n)
 
