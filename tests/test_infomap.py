@@ -264,6 +264,94 @@ def test_infomap_directed_symmetric_matches_undirected_structure(spark):
     ]
 
 
+def test_directed_move_algebra_matches_codelength_diff():
+    """Pure-python check (no Spark) that the single-move ΔL algebra
+    used by _infomap_moves_directed equals L(after) − L(before) from
+    the independent entropy-form oracle, for EVERY vertex → module
+    move on a small strongly-connected graph with a dangling vertex."""
+    damping = 0.85
+    n, arcs = directed_two_cycles()
+    n, arcs = 7, arcs + [(0, 6, 1.0)]  # 6 is dangling
+
+    # flow tables exactly as _directed_flow builds them
+    s = defaultdict(float)
+    for u, v, w in arcs:
+        if u != v:
+            s[u] += w
+    p = [1.0 / n] * n
+    for _ in range(500):
+        dang = sum(p[u] for u in range(n) if s[u] == 0.0)
+        base = ((1.0 - damping) * (1.0 - dang) + dang) / n
+        nxt = [base] * n
+        for u, v, w in arcs:
+            if u != v:
+                nxt[v] += damping * p[u] * w / s[u]
+        p = nxt
+    tp = [
+        (1.0 - damping) * p[u] + (damping * p[u] if s[u] == 0.0 else 0.0)
+        for u in range(n)
+    ]
+    flow = defaultdict(float)
+    for u, v, w in arcs:
+        if u != v:
+            flow[(u, v)] += damping * p[u] * w / s[u]
+
+    def fent(x):
+        return x * math.log2(x) if x > 0 else 0.0
+
+    def move_dl(member, i, c):
+        a = member[i]
+        mods = set(member.values())
+        P = {m: sum(tp[u] for u in range(n) if member[u] == m) for m in mods}
+        PM = {m: sum(p[u] for u in range(n) if member[u] == m) for m in mods}
+        NM = {m: sum(1 for u in range(n) if member[u] == m) for m in mods}
+        E = {m: 0.0 for m in mods}
+        for (u, v), f in flow.items():
+            if member[u] != member[v]:
+                E[member[u]] += f
+        q = {m: P[m] * (n - NM[m]) / n + E[m] for m in mods}
+        q_all = sum(q.values())
+        fo = sum(f for (u, v), f in flow.items() if u == i)
+        fo_own = sum(f for (u, v), f in flow.items() if u == i and member[v] == a)
+        fi_own = sum(f for (u, v), f in flow.items() if v == i and member[u] == a)
+        fo_c = sum(f for (u, v), f in flow.items() if u == i and member[v] == c)
+        fi_c = sum(f for (u, v), f in flow.items() if v == i and member[u] == c)
+        ea_n = E[a] - (fo - fo_own) + fi_own
+        ec_n = E[c] + (fo - fo_c) - fi_c
+        qa_n = (P[a] - tp[i]) * (n - (NM[a] - 1)) / n + ea_n
+        qc_n = (P[c] + tp[i]) * (n - (NM[c] + 1)) / n + ec_n
+        pa_n, pc_n = PM[a] - p[i], PM[c] + p[i]
+        q_new = q_all + qa_n + qc_n - q[a] - q[c]
+        return (
+            (fent(q_new) - fent(q_all))
+            - 2.0 * (fent(qa_n) + fent(qc_n) - fent(q[a]) - fent(q[c]))
+            + (
+                fent(qa_n + pa_n)
+                + fent(qc_n + pc_n)
+                - fent(q[a] + PM[a])
+                - fent(q[c] + PM[c])
+            )
+        )
+
+    for member in (
+        {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 1, 6: 0},
+        {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2},
+        {i: i for i in range(7)},
+    ):
+        for i in range(n):
+            for c in set(member.values()):
+                if c == member[i]:
+                    continue
+                before = oracle_codelength_directed(n, arcs, member)
+                after_m = dict(member)
+                after_m[i] = c
+                after = oracle_codelength_directed(n, arcs, after_m)
+                got = move_dl(member, i, c)
+                assert got == pytest.approx(after - before, abs=1e-9), (
+                    member, i, c,
+                )
+
+
 def test_infomap_deterministic_and_label_contract(spark):
     n, edges = two_triangles()
     g = _graph(spark, n, edges)

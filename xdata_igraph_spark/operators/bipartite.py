@@ -46,15 +46,21 @@ def _typed_edges(graph: LinkGraph, types: DataFrame) -> DataFrame:
         e.join(t.select(F.col("id").alias("src"), F.col("type").alias("ts")), "src", "left")
         .join(t.select(F.col("id").alias("dst"), F.col("type").alias("td")), "dst", "left")
     )
-    untyped = j.filter(F.col("ts").isNull() | F.col("td").isNull()).limit(1).count()
-    if untyped:
+    # both validations in ONE aggregate pass over the joined edges
+    # (separate .filter().count() actions would re-execute the join)
+    chk = j.agg(
+        F.count(F.when(F.col("ts").isNull() | F.col("td").isNull(), 1)).alias(
+            "untyped"
+        ),
+        F.count(F.when(F.col("ts") == F.col("td"), 1)).alias("bad"),
+    ).first()
+    if chk["untyped"]:
         raise ValueError(
             "types does not cover every edge endpoint — an incomplete "
             "type vector would silently truncate the graph (the "
             "reference requires a full types vector)"
         )
-    bad = j.filter(F.col("ts") == F.col("td")).limit(1).count()
-    if bad:
+    if chk["bad"]:
         raise ValueError(
             "edge joins two same-type vertices — graph is not bipartite "
             "under the given types (igraph_bipartite_projection errors too)"

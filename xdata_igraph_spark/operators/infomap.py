@@ -61,22 +61,42 @@ def _und_edges(graph: LinkGraph, weighted: bool) -> DataFrame:
     )
 
 
+def _require_full_membership(graph: LinkGraph, mem: DataFrame) -> None:
+    """Raise if ``mem`` misses any vertex — inner-joining edges against
+    a partial membership would silently drop mass and return a
+    codelength that belongs to no partition of the graph."""
+    missing = graph.vertices().join(mem, "id", "left_anti").limit(1).count()
+    if missing:
+        raise ValueError(
+            "membership does not cover every vertex of the graph — a "
+            "partial membership would silently drop edge/visit mass "
+            "from the codelength"
+        )
+
+
 def codelength(
     graph: LinkGraph, membership: DataFrame, weighted: bool = True
 ) -> float:
     """Exact two-level map-equation codelength (bits per step) of a
     given partition — the quantity igraph_community_infomap reports as
-    ``codelength``. ``membership``: (id, <label>) DataFrame."""
-    und = _und_edges(graph, weighted)
-    m_tot = und.agg(F.sum("w")).first()[0]
-    if not m_tot:
-        return 0.0
-    m2 = 2.0 * float(m_tot)
-
+    ``codelength``. ``membership``: (id, <label>) DataFrame covering
+    every vertex (partial memberships raise)."""
     mem = membership.select(
         F.col(membership.columns[0]).alias("id"),
         F.col(membership.columns[1]).alias("comm"),
     )
+    _require_full_membership(graph, mem)
+    und = _und_edges(graph, weighted)
+    m_tot = und.agg(F.sum("w")).first()[0]
+    if not m_tot:
+        return 0.0
+    return _codelength_from_und(und, 2.0 * float(m_tot), mem)
+
+
+def _codelength_from_und(und: DataFrame, m2: float, mem: DataFrame) -> float:
+    """Codelength from an already-built canonical undirected edge table
+    (the level loop reuses its level-0 checkpoint instead of rebuilding
+    ``und`` from the graph every level)."""
     ca = mem.select(F.col("id").alias("a"), F.col("comm").alias("ca"))
     cb = mem.select(F.col("id").alias("b"), F.col("comm").alias("cb"))
     tagged = und.join(ca, "a").join(cb, "b")
@@ -278,7 +298,14 @@ def infomap_communities(
     membership = graph.vertices().select("id", F.col("id").alias("node"))
     membership = membership.localCheckpointFlat(eager=True)
     cur = und
-    prev_l = None
+    # baseline L of the singleton partition, from the checkpointed und
+    # (NOT codelength(graph, ...), which would rebuild the edge table
+    # every level): a level is adopted only if it strictly shrinks L,
+    # so jointly-regressing synchronous sweeps are discarded, never
+    # returned
+    prev_l = _codelength_from_und(
+        und, m2, graph.vertices().select("id", F.col("id").alias("comm"))
+    )
 
     for _level in range(max_levels):
         nonloop = cur.filter(F.col("a") != F.col("b"))
@@ -310,18 +337,19 @@ def infomap_communities(
             .localCheckpointFlat(eager=True)
         )
         comm = _infomap_moves(sym, verts, m2, max_sweeps)
-        membership = (
+        folded = (
             membership.join(
                 comm.select(F.col("id").alias("node"), "comm"), "node", "left"
             )
             .select("id", F.coalesce("comm", F.col("node")).alias("node"))
             .localCheckpointFlat(eager=True)
         )
-        cl = codelength(
-            graph, membership.select("id", F.col("node").alias("c")), weighted=weighted
+        cl = _codelength_from_und(
+            und, m2, folded.select("id", F.col("node").alias("comm"))
         )
-        if prev_l is not None and cl >= prev_l - 1e-12:
+        if cl >= prev_l - 1e-12:
             break
+        membership = folded
         prev_l = cl
         ca = comm.select(F.col("id").alias("a"), F.col("comm").alias("ca"))
         cb = comm.select(F.col("id").alias("b"), F.col("comm").alias("cb"))
@@ -421,14 +449,25 @@ def codelength_directed(
     damping: float = 0.85,
 ) -> float:
     """Exact two-level directed map-equation codelength of a partition
-    under PageRank flow with recorded teleportation."""
-    arcs, verts, n = _directed_flow(graph, weighted, damping)
-    if n == 0:
-        return 0.0
+    under PageRank flow with recorded teleportation.  ``membership``
+    must cover every vertex (partial memberships raise)."""
     mem = membership.select(
         F.col(membership.columns[0]).alias("id"),
         F.col(membership.columns[1]).alias("comm"),
     )
+    _require_full_membership(graph, mem)
+    arcs, verts, n = _directed_flow(graph, weighted, damping)
+    if n == 0:
+        return 0.0
+    return _codelength_from_flow(arcs, verts, n, mem)
+
+
+def _codelength_from_flow(
+    arcs: DataFrame, verts: DataFrame, n: int, mem: DataFrame
+) -> float:
+    """Codelength from already-built flow tables (the level loop reuses
+    its level-0 checkpoints instead of re-running PageRank — the
+    engine's most expensive primitive — once per level)."""
     v = verts.join(mem, "id")
     mod = v.groupBy("comm").agg(
         F.sum("p").alias("p_m"),
@@ -653,28 +692,33 @@ def infomap_communities_directed(
     arcs, verts, n = _directed_flow(graph, weighted, damping)
     arcs = arcs.localCheckpointFlat(eager=True)
     verts = verts.localCheckpointFlat(eager=True)
+    # level-0 flow tables: every level's codelength is evaluated from
+    # these (ONE PageRank solve total, not one per level)
+    arcs0, verts0 = arcs, verts
 
     membership = graph.vertices().select("id", F.col("id").alias("node"))
     membership = membership.localCheckpointFlat(eager=True)
-    prev_l = None
+    # baseline L of the singleton partition; a level is adopted only if
+    # it strictly shrinks L (see infomap_communities)
+    prev_l = _codelength_from_flow(
+        arcs0, verts0, n, graph.vertices().select("id", F.col("id").alias("comm"))
+    )
 
     for _level in range(max_levels):
         comm = _infomap_moves_directed(arcs, verts, n, max_sweeps)
-        membership = (
+        folded = (
             membership.join(
                 comm.select(F.col("id").alias("node"), "comm"), "node", "left"
             )
             .select("id", F.coalesce("comm", F.col("node")).alias("node"))
             .localCheckpointFlat(eager=True)
         )
-        cl = codelength_directed(
-            graph,
-            membership.select("id", F.col("node").alias("c")),
-            weighted=weighted,
-            damping=damping,
+        cl = _codelength_from_flow(
+            arcs0, verts0, n, folded.select("id", F.col("node").alias("comm"))
         )
-        if prev_l is not None and cl >= prev_l - 1e-12:
+        if cl >= prev_l - 1e-12:
             break
+        membership = folded
         prev_l = cl
         # contract: flows aggregate by module; intra flow becomes
         # irrelevant self-flow and is dropped; supernodes carry the

@@ -179,7 +179,16 @@ def multilevel_communities(
     membership = graph.vertices().select("id", F.col("id").alias("node"))
     membership = membership.localCheckpointFlat(eager=True)
     cur = und
-    prev_q = None
+    # baseline objective of the singleton partition: a level is adopted
+    # only if it strictly improves, so a jointly-regressing synchronous
+    # sweep can never make the RETURNED partition worse than its
+    # predecessor (isolated moves are gated on ΔQ but simultaneous
+    # accepted moves can interact)
+    prev_q = modularity(
+        graph,
+        graph.vertices().select("id", F.col("id").alias("c")),
+        weighted=weighted,
+    )
 
     for _level in range(max_levels):
         nonloop = cur.filter(F.col("a") != F.col("b"))
@@ -210,8 +219,10 @@ def multilevel_communities(
             .localCheckpointFlat(eager=True)
         )
         comm = _local_moves(sym, verts, m2, max_sweeps)
-        # fold into original-vertex membership
-        membership = (
+        # fold into original-vertex membership — adopted only below,
+        # after the objective check, so a regressing level is discarded
+        # rather than returned
+        folded = (
             membership.join(
                 comm.select(F.col("id").alias("node"), "comm"), "node", "left"
             )
@@ -219,10 +230,11 @@ def multilevel_communities(
             .localCheckpointFlat(eager=True)
         )
         q = modularity(
-            graph, membership.select("id", F.col("node").alias("c")), weighted=weighted
+            graph, folded.select("id", F.col("node").alias("c")), weighted=weighted
         )
-        if prev_q is not None and q <= prev_q + 1e-12:
+        if q <= prev_q + 1e-12:
             break
+        membership = folded
         prev_q = q
         # contract to the supergraph for the next level
         ca = comm.select(F.col("id").alias("a"), F.col("comm").alias("ca"))

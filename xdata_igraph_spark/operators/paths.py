@@ -181,7 +181,7 @@ def johnson_all_pairs(
     h = h.repartition("id").localCheckpointFlat(eager=True)
     pot_runner = SuperstepRunner(spark, "johnson_potentials")
     rounds = min(max_iter, n + 1)
-    changed = 0
+    converged = False
     for it in range(rounds):
         relaxed = (
             h.select(F.col("id").alias("src"), "h")
@@ -204,15 +204,17 @@ def johnson_all_pairs(
         pot_runner.finish_iteration(it, float(changed))
         h = new_h.drop("_old")
         if changed == 0:
+            converged = True
             break
         if it >= n:
             # a potential still improving after |V| rounds can only be
             # walking a negative cycle (IGRAPH_ENEGLOOP)
             raise ValueError("negative cycle detected (igraph errors likewise)")
-    if changed:
-        # max_iter < |V|+1 cut the potential loop short: reweighting
-        # with unconverged potentials leaves genuinely negative arcs
-        # that the w+h(u)-h(v) clamp would silently zero
+    if not converged:
+        # max_iter cut the potential loop short (including max_iter=0,
+        # which never enters the loop): reweighting with unconverged
+        # potentials leaves genuinely negative arcs that the
+        # w+h(u)-h(v) clamp would silently zero
         raise ValueError(
             f"Johnson potentials did not converge within max_iter="
             f"{max_iter} (< |V|+1={n + 1}); raise max_iter"

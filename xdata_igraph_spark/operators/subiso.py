@@ -293,7 +293,9 @@ def _small_edge_list(graph: LinkGraph, max_n: int) -> tuple[int, list[tuple[int,
         # rejects them too (topology.c VF2 assumes simple graphs)
         raise ValueError(
             "whole-graph isomorphism requires a simple graph (no "
-            "multi-edges or loops); simplify() first if the collapsed "
+            "multi-edges or loops; an undirected edge stored BOTH ways "
+            "counts as a multi-edge under the canonical-once data "
+            "model, graph.py:19); simplify() first if the collapsed "
             "comparison is intended"
         )
     return n, arcs

@@ -132,7 +132,8 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
       production path: snapshot isolation, hidden partitioning
       (``days(warc_ts)`` / ``bucket(url)``) and partition pruning all
       come from the catalog, not from this engine.
-    - ``source`` with a ``/`` is a path: read with the Iceberg
+    - ``source`` with a ``/`` (or a ``.parquet`` suffix) is a path:
+      read with the Iceberg
       DataSource if the runtime ships the connector, else plain
       parquet (this sandbox has no Iceberg jar — the fallback IS the
       tested path; the connector branch is format negotiation only).
@@ -142,10 +143,23 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     extractors see one schema regardless of the physical source;
     missing required columns raise ValueError naming them.
     """
-    if "/" in source:
+    looks_like_path = "/" in source or source.endswith(".parquet")
+    if looks_like_path:
         try:
             df = spark.read.format("iceberg").load(source)
-        except Exception:
+        except Exception as exc:
+            # fall back to parquet ONLY when the Iceberg connector is
+            # absent; a present-but-failing connector (corrupt
+            # metadata, auth) must surface, not silently re-read the
+            # directory as raw parquet ignoring snapshot/delete files
+            msg = f"{type(exc).__name__}: {exc}"
+            connector_missing = (
+                "Failed to find data source" in msg
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "ClassNotFoundException" in msg
+            )
+            if not connector_missing:
+                raise
             df = spark.read.parquet(source)
     else:
         df = spark.read.table(source)
