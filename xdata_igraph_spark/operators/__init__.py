@@ -47,6 +47,7 @@ from xdata_igraph_spark.operators.infomap import (
 from xdata_igraph_spark.operators.leading_eigenvector import (
     leading_eigenvector_communities,
 )
+from xdata_igraph_spark.operators.spinglass import spinglass_communities
 from xdata_igraph_spark.operators.flow import (
     maxflow_value,
     st_mincut,
@@ -133,6 +134,7 @@ __all__ = [
     "infomap_communities",
     "infomap_communities_directed",
     "leading_eigenvector_communities",
+    "spinglass_communities",
     "maxflow_value",
     "st_mincut",
     "mincut_value",
