@@ -48,6 +48,12 @@ from xdata_igraph_spark.operators.leading_eigenvector import (
     leading_eigenvector_communities,
 )
 from xdata_igraph_spark.operators.spinglass import spinglass_communities
+from xdata_igraph_spark.operators.scg import (
+    scg_adjacency,
+    scg_grouping,
+    scg_laplacian,
+    scg_stochastic,
+)
 from xdata_igraph_spark.operators.flow import (
     maxflow_value,
     st_mincut,
@@ -98,6 +104,10 @@ __all__ = [
     "pagerank",
     "wcc",
     "scc",
+    "scg_adjacency",
+    "scg_grouping",
+    "scg_laplacian",
+    "scg_stochastic",
     "is_connected",
     "adjacent_triangles",
     "list_triangles",
