@@ -48,6 +48,15 @@ from xdata_igraph_spark.operators.leading_eigenvector import (
     leading_eigenvector_communities,
 )
 from xdata_igraph_spark.operators.spinglass import spinglass_communities
+from xdata_igraph_spark.operators.hrg import (
+    hrg_create,
+    hrg_dendrogram,
+    hrg_fit,
+    hrg_game,
+    hrg_pair_probs,
+    hrg_predict,
+    hrg_sample,
+)
 from xdata_igraph_spark.operators.scg import (
     scg_adjacency,
     scg_grouping,
@@ -118,6 +127,13 @@ __all__ = [
     "modularity",
     "coreness",
     "hits",
+    "hrg_create",
+    "hrg_dendrogram",
+    "hrg_fit",
+    "hrg_game",
+    "hrg_pair_probs",
+    "hrg_predict",
+    "hrg_sample",
     "eigenvector_centrality",
     "shortest_paths",
     "distances_from",
