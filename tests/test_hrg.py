@@ -166,3 +166,28 @@ def test_hrg_dendrogram_and_guard(spark):
         assert False, "guard should fire"
     except ValueError as e:
         assert "guard" in str(e)
+
+
+def test_hrg_deep_dendrogram_pair_probs(spark):
+    # caterpillar dendrogram of depth n-1 = 69: the ancestor closure
+    # must derive its round bound from the input, not a fixed cap
+    n = 70
+    left = [-(k + 2) for k in range(n - 2)] + [n - 1]
+    right = list(range(n - 1))
+    d = hrg_create(spark, left, right, [0.5] * (n - 1))
+    assert hrg_pair_probs(d).count() == n * (n - 1) // 2
+
+
+def test_hrg_game_stacked_sample_guard(spark):
+    g = _two_cliques(spark, k=4)
+    s = hrg_sample(g, num_samples=3, steps=300, seed=5)
+    try:
+        hrg_game(s)
+        assert False, "stacked multi-sample dendrogram must be rejected"
+    except ValueError as e:
+        assert "sample" in str(e)
+    drawn = hrg_game(s, sample=1, seed=11)
+    assert drawn.vcount() == g.vcount()
+    pairs = drawn.edges.select("src", "dst").collect()
+    keys = [(int(r["src"]), int(r["dst"])) for r in pairs]
+    assert len(keys) == len(set(keys))  # no duplicate parallel edges

@@ -268,3 +268,30 @@ def test_scg_laplacian_weighted_shift_regression(spark):
     out = scg_laplacian(g, no=2, nt=2)
     want = np.sort(np.linalg.eigvalsh(Lm))[:2]
     assert np.allclose(np.sort(out["values"]), want, atol=1e-4)
+
+
+def test_scg_grouping_rejects_bad_nt(spark):
+    v = _vec_df(spark, [0.1, 0.2, 0.3, 0.4])
+    for bad in (0, -3):
+        try:
+            scg_grouping(v, nt=bad)
+            assert False, f"nt={bad} must be rejected"
+        except ValueError as e:
+            assert "nt" in str(e)
+
+
+def test_scg_rejects_bad_norm(spark):
+    g = LinkGraph(
+        spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+            "src long, dst long, weight double",
+        ),
+        directed=False,
+        n=3,
+    )
+    for fn in (scg_laplacian, scg_stochastic):
+        try:
+            fn(g, no=1, nt=1, norm="rows")
+            assert False, "norm typo must be rejected, not silently col-normed"
+        except ValueError as e:
+            assert "norm" in str(e)

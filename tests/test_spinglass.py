@@ -88,3 +88,21 @@ def test_spinglass_gamma_controls_resolution(spark):
     assert groups(hi) == [[0, 1, 2, 3, 4], [5, 6, 7, 8, 9]]
     lo = spinglass_communities(g, spins=6, gamma=0.01, seed=5)
     assert groups(lo) == [[0, 1, 2, 3], [4, 5, 6, 7, 8, 9]]
+
+
+def test_spinglass_rejects_unconnected(spark):
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+             (3, 4, 1.0), (4, 5, 1.0), (5, 3, 1.0)]
+    g = LinkGraph(
+        spark.createDataFrame(edges, "src long, dst long, weight double"),
+        directed=False,
+        n=6,
+    )
+    try:
+        spinglass_communities(g, spins=4, seed=3)
+        assert False, "unconnected graph must be rejected (reference parity)"
+    except ValueError as e:
+        assert "unconnected" in str(e)
+    # per-component recipe still works with the check disabled
+    lab = spinglass_communities(g, spins=4, seed=3, check_connectivity=False)
+    assert lab.count() == 6

@@ -186,32 +186,48 @@ class _Dendro:
         self.leafset[c], self.cross[c] = ols, olc
         self.cross[p] = opc
 
+    def snapshot(self) -> tuple[list[int], list[int], list[int], list[int]]:
+        """O(n) state copy (pointer copies — ints are immutable) for
+        cheap MAP tracking; export later via _export_rows. Copying the
+        four arrays is ~n/64× cheaper than rows()'s popcount sweep, and
+        the ascent phase accepts (hence snapshots) nearly every move."""
+        return (self.left[:], self.right[:], self.cross[:], self.leafset[:])
+
     def rows(self) -> list[tuple]:
         """Export as igraph_hrg_t-encoded rows: internal node k
         (1-based here) → -k; leaves stay 0..n-1."""
+        return _export_rows(self.n, self.left, self.right, self.cross, self.leafset)
 
-        def enc(x: int) -> int:
-            # internal k>0 → -k (reference encoding); leaf stored as
-            # -i → i: both are a sign flip
-            return -x
 
-        out = []
-        for v in range(1, self.n):
-            lb = self._leafbits(self.left[v])
-            rb = self._leafbits(self.right[v])
-            pairs = lb.bit_count() * rb.bit_count()
-            th = self.cross[v] / pairs if pairs else 0.0
-            out.append(
-                (
-                    -v,
-                    enc(self.left[v]),
-                    enc(self.right[v]),
-                    float(th),
-                    int(self.cross[v]),
-                    int((lb | rb).bit_count()),
-                )
+def _export_rows(
+    n: int,
+    left: list[int],
+    right: list[int],
+    cross: list[int],
+    leafset: list[int],
+) -> list[tuple]:
+    def bits(node: int) -> int:
+        return (1 << -node) if node <= 0 else leafset[node]
+
+    out = []
+    for v in range(1, n):
+        lb = bits(left[v])
+        rb = bits(right[v])
+        pairs = lb.bit_count() * rb.bit_count()
+        th = cross[v] / pairs if pairs else 0.0
+        out.append(
+            (
+                -v,
+                # internal k>0 → -k (reference encoding); leaf stored
+                # as -i → i: both are a sign flip
+                -left[v],
+                -right[v],
+                float(th),
+                int(cross[v]),
+                int((lb | rb).bit_count()),
             )
-        return out
+        )
+    return out
 
 
 def hrg_fit(
@@ -263,12 +279,12 @@ def _run_mcmc(
     rng = random.Random(seed)
     den = _Dendro(n, adj, rng)
     ll = den.loglik()
-    best_ll, best_rows = ll, den.rows()
+    best_ll, best_snap = ll, den.snapshot()
     if steps is None:
         steps = int(100 * n * max(1.0, math.log(n)))
 
     def sweep(k: int) -> None:
-        nonlocal ll, best_ll, best_rows
+        nonlocal ll, best_ll, best_snap
         for _ in range(k):
             # ΔL only touches the two reconfigured internal nodes
             c, p, swap_left = den.propose(rng)
@@ -278,11 +294,12 @@ def _run_mcmc(
             if d_ll >= 0 or rng.random() < math.exp(d_ll):
                 ll += d_ll
                 if ll > best_ll:
-                    best_ll, best_rows = ll, den.rows()
+                    best_ll, best_snap = ll, den.snapshot()
             else:
                 den.undo(tok)
 
     sweep(steps)
+    best_rows = _export_rows(n, *best_snap)
     sampled: list[list[tuple]] = []
     for _ in range(samples):
         sweep(n)  # the reference samples the walk once every n moves
@@ -311,7 +328,7 @@ def hrg_sample(
     return graph.spark.createDataFrame(rows, "sample int, " + _DENDRO_SCHEMA)
 
 
-def _ancestor_sides(dendro: DataFrame, max_depth: int = 64) -> DataFrame:
+def _ancestor_sides(dendro: DataFrame, max_depth: int | None = None) -> DataFrame:
     """(leaf, anc, side [, sample]): every leaf × every ancestor
     internal node, with the side ('L'/'R') of the ancestor's child
     subtree the leaf sits in. Built bottom-up in O(depth) equi-joins
@@ -321,6 +338,17 @@ def _ancestor_sides(dendro: DataFrame, max_depth: int = 64) -> DataFrame:
     close in the same O(depth) rounds."""
     keyed = "sample" in dendro.columns
     ks = ["sample"] if keyed else []
+    if max_depth is None:
+        # a dendrogram's depth is at most its internal-node count, so
+        # derive the loop bound from the input instead of a fixed cap
+        # (a path graph's ML dendrogram is a depth≈n caterpillar);
+        # hitting the bound then only means a malformed/cyclic input
+        if keyed:
+            max_depth = int(
+                dendro.groupBy("sample").count().agg(F.max("count")).first()[0] or 0
+            ) + 1
+        else:
+            max_depth = int(dendro.count()) + 1
     arcs = dendro.select(
         *ks, F.col("node").alias("anc"), F.col("left").alias("x"), F.lit("L").alias("side")
     ).unionByName(
@@ -389,13 +417,26 @@ def hrg_pair_probs(dendro: DataFrame) -> DataFrame:
     )
 
 
-def hrg_game(dendro: DataFrame, seed: int = 42) -> LinkGraph:
+def hrg_game(dendro: DataFrame, seed: int = 42, sample: int | None = None) -> LinkGraph:
     """Sample a graph from a hierarchical random graph model
     (igraph_hrg_game, /root/reference/src/igraph_hrg.cc): every pair
     connects independently with its LCA's probability. Deterministic
     xxhash coin per (a, b, seed) — the package-standard RNG
     discipline; the Bernoulli filter is fused into the LCA join plan
-    (no C(n,2) materialization)."""
+    (no C(n,2) materialization).
+
+    A stacked multi-sample dendrogram (hrg_sample's output, keyed by a
+    ``sample`` column) encodes SEVERAL models; the game draws from one,
+    so pass ``sample=k`` to pick it — otherwise each pair would emit up
+    to num_samples parallel edges."""
+    if "sample" in dendro.columns:
+        if sample is None:
+            raise ValueError(
+                "dendro is a stacked multi-sample dendrogram; pass sample=k "
+                "to choose the model to draw from (hrg_predict is the "
+                "operator that averages over all samples)"
+            )
+        dendro = dendro.filter(F.col("sample") == sample).drop("sample")
     pp = hrg_pair_probs(dendro)
     coin = (
         F.pmod(F.xxhash64("a", "b", F.lit(seed)), F.lit(1_000_000_007))

@@ -39,8 +39,8 @@ Distributed strategy (all four steps Spark-native):
   driver-side behind the same size guard flow.py uses, vectorized with
   numpy prefix sums;
 - **final intersection + coarse matrix** are a groupBy on the bin
-  tuple (dense group ids via the range-partitioned prefix-offset rank
-  of plans/ids.py) and ONE edges⋈groups⋈groups join with per-mtype
+  tuple (dense group ids via renumber_first_appearance — the
+  package-wide label contract) and ONE edges⋈groups⋈groups join with per-mtype
   semiprojector coefficients (scg.c:472-720):
   symmetric L=R: 1/√n_g; laplacian row-norm: L=1/n_g, R=1 (col-norm
   swapped); stochastic row-norm: L=p_i/p(g), R=1 (col-norm swapped).
@@ -59,7 +59,6 @@ from pyspark.sql import functions as F
 from xdata_igraph_spark.graph import LinkGraph
 from xdata_igraph_spark.operators.embedding import adjacency_spectral_embedding
 from xdata_igraph_spark.operators.lpa import renumber_first_appearance
-from xdata_igraph_spark.plans.ids import zip_dense_ids
 
 _ALGOS = ("interval", "interval_km", "exact", "optimum")
 
@@ -265,6 +264,8 @@ def scg_grouping(
     nts = [int(nt)] * len(xs) if isinstance(nt, int) else [int(t) for t in nt]
     if len(nts) != len(xs):
         raise ValueError("nt_vec length must match the eigenvector count")
+    if any(t < 1 for t in nts):
+        raise ValueError(f"nt must be >= 1 (got {nts})")
     if algo == "exact":
         # group vertices with exactly equal components in every vector
         binned = vectors.select(
@@ -321,6 +322,8 @@ def _lap_coefs(
 ) -> tuple[DataFrame, DataFrame]:
     """Laplacian semiprojectors (scg.c:537-632): row-norm L=1/n_g, R=1;
     col-norm L=1, R=1/n_g."""
+    if norm not in ("row", "col"):
+        raise ValueError(f"norm must be 'row' or 'col' (got {norm!r})")
     sizes = groups.groupBy("group").agg(F.count("*").alias("_n"))
     inv = groups.join(F.broadcast(sizes), "group").select(
         "id", (F.lit(1.0) / F.col("_n")).alias("coef")
@@ -334,6 +337,8 @@ def _sto_coefs(
 ) -> tuple[DataFrame, DataFrame]:
     """Stochastic semiprojectors (scg.c:634-760): pnormed_i =
     p_i / Σ_{j∈g(i)} p_j; row-norm L=pnormed, R=1; col-norm swapped."""
+    if norm not in ("row", "col"):
+        raise ValueError(f"norm must be 'row' or 'col' (got {norm!r})")
     pname = [c for c in p.columns if c != "id"][0]
     gp = groups.join(p.select("id", F.col(pname).alias("_p")), "id")
     psum = gp.groupBy("group").agg(F.sum("_p").alias("_pg"))

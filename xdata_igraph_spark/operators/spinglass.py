@@ -38,8 +38,6 @@ raises the edge term and is never the argmin proposal at low T.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,6 +55,7 @@ def spinglass_communities(
     max_sweeps: int = 40,
     weighted: bool = True,
     seed: int = 42,
+    check_connectivity: bool = True,
 ) -> DataFrame:
     """Spinglass communities → (id, label), labels dense 0..k-1 by
     first appearance in vertex-id order.
@@ -66,6 +65,14 @@ def spinglass_communities(
     The annealing ladder runs T = start_temp · cooling^t clamped at
     stop_temp; with the defaults that is ~11 tempered sweeps followed
     by greedy sweeps until a full parity pair passes with no move.
+
+    The reference refuses unconnected graphs (community_spinglass
+    checks connectivity up front: proposals only ever visit neighbor
+    spins, so two components that hash-initialize onto the same spin
+    could never be separated). We match: ``check_connectivity=True``
+    (default) raises on an unconnected input; pass False only when the
+    caller has already established connectivity (e.g. running per
+    ``decompose()`` component — the reference's documented recipe).
     """
     if spins < 1:
         raise ValueError("spins must be >= 1")
@@ -73,6 +80,14 @@ def spinglass_communities(
     n = graph.vcount()
     if n == 0:
         return spark.createDataFrame([], "id long, label long")
+    if check_connectivity:
+        from xdata_igraph_spark.operators.components import is_connected
+
+        if not is_connected(graph, mode="weak"):
+            raise ValueError(
+                "spinglass_communities cannot work with unconnected graphs "
+                "(matching the reference); run it per wcc/decompose component"
+            )
 
     e0 = graph.edges if weighted else graph.edges.withColumn("weight", F.lit(1.0))
     nonloop = e0.select("src", "dst", "weight").filter(F.col("src") != F.col("dst"))
