@@ -25,6 +25,7 @@ from xdata_igraph_spark.operators.structure import (
     neighborhood,
     neighborhood_graphs,
     avg_nearest_neighbor_degree,
+    diversity,
     dyad_census,
     linegraph,
     permute_vertices,
@@ -76,6 +77,7 @@ from xdata_igraph_spark.operators.flow import (
     st_vertex_connectivity,
     adhesion,
     cohesion,
+    dominator_tree,
 )
 from xdata_igraph_spark.operators.subiso import (
     subisomorphisms,
@@ -147,6 +149,7 @@ __all__ = [
     "neighborhood",
     "neighborhood_graphs",
     "avg_nearest_neighbor_degree",
+    "diversity",
     "dyad_census",
     "linegraph",
     "permute_vertices",
@@ -173,6 +176,7 @@ __all__ = [
     "st_vertex_connectivity",
     "adhesion",
     "cohesion",
+    "dominator_tree",
     "subisomorphisms",
     "count_subisomorphisms",
     "subisomorphic",

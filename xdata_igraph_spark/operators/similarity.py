@@ -118,6 +118,158 @@ def assortativity_degree(graph: LinkGraph) -> float:
     return num / den if den else float("nan")
 
 
+def assortativity(
+    graph: LinkGraph,
+    values: DataFrame,
+    values2: DataFrame | None = None,
+    directed: bool = True,
+) -> float:
+    """Assortativity for arbitrary numeric vertex values
+    (igraph_assortativity, /root/reference/src/mixing.c:171, Newman
+    PRE 67 026126 eq. 21/26): the Pearson correlation of the value
+    pairs at edge endpoints.
+
+    ``values`` is (id, value); for the directed form ``values2``
+    optionally supplies the in-end values (defaults to ``values``).
+    Undirected graphs (or directed=False) use the symmetric estimator
+    — each edge counted once with the C's pooled moments, exactly
+    matching mixing.c's undirected branch. One two-sided broadcast-able
+    join + ONE scalar aggregate; no iteration."""
+    directed = directed and graph.directed
+    vcol = [c for c in values.columns if c != "id"][0]
+    xs = values.select("id", F.col(vcol).cast("double").alias("_x"))
+    if values2 is None:
+        values2 = values
+    v2col = [c for c in values2.columns if c != "id"][0]
+    ys = values2.select("id", F.col(v2col).cast("double").alias("_y"))
+    j = (
+        graph.edges.select("src", "dst")
+        .join(xs.withColumnRenamed("id", "src"), "src")
+        .join(ys.withColumnRenamed("id", "dst"), "dst")
+    )
+    if not directed:
+        # mixing.c:196-215: pooled endpoint moments over each edge once
+        row = j.agg(
+            F.count("*").alias("m"),
+            F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+            F.sum(F.col("_x") + F.col("_y")).alias("sx"),
+            F.sum(F.col("_x") * F.col("_x") + F.col("_y") * F.col("_y")).alias("sxx"),
+        ).first()
+        m = float(row["m"])
+        if not m:
+            return float("nan")
+        num1 = float(row["sxy"]) / m
+        num2 = (float(row["sx"]) / (2 * m)) ** 2
+        den1 = float(row["sxx"]) / (2 * m)
+        return (num1 - num2) / (den1 - num2) if den1 != num2 else float("nan")
+    row = j.agg(
+        F.count("*").alias("m"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    ).first()
+    m = float(row["m"])
+    if not m:
+        return float("nan")
+    sx, sy = float(row["sx"]), float(row["sy"])
+    num = float(row["sxy"]) - sx * sy / m
+    den = ((float(row["sxx"]) - sx * sx / m) * (float(row["syy"]) - sy * sy / m)) ** 0.5
+    return num / den if den else float("nan")
+
+
+def assortativity_nominal(
+    graph: LinkGraph, types: DataFrame, directed: bool = True
+) -> float:
+    """Assortativity by vertex category (igraph_assortativity_nominal,
+    /root/reference/src/mixing.c:61, Newman PRE 67 026126 eq. 2):
+    r = (Σ_t e_tt − Σ_t a_t b_t) / (1 − Σ_t a_t b_t) over the mixing
+    matrix of edge-endpoint type pairs. ``types`` is (id, type). The
+    undirected branch's double-count-then-/4,/2 bookkeeping
+    (mixing.c:118-140) is algebraically the directed formula over the
+    symmetrized arc list, which is how it's computed here. Two
+    broadcast-able type joins + two tiny per-type aggregates."""
+    directed = directed and graph.directed
+    tcol = [c for c in types.columns if c != "id"][0]
+    ts = types.select("id", F.col(tcol).cast("long").alias("_t"))
+    arcs = graph.edges.select("src", "dst")
+    if not directed:
+        arcs = arcs.unionAll(
+            arcs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    typed = (
+        arcs.join(ts.withColumnRenamed("id", "src").withColumnRenamed("_t", "_ft"), "src")
+        .join(ts.withColumnRenamed("id", "dst").withColumnRenamed("_t", "_tt"), "dst")
+    )
+    row = typed.agg(
+        F.count("*").alias("m"),
+        F.sum(F.when(F.col("_ft") == F.col("_tt"), 1).otherwise(0)).alias("eii"),
+    ).first()
+    m = float(row["m"])
+    if not m:
+        return float("nan")
+    sumeii = float(row["eii"]) / m
+    ab = (
+        typed.groupBy("_ft")
+        .agg(F.count("*").alias("_a"))
+        .join(
+            typed.groupBy(F.col("_tt").alias("_ft")).agg(F.count("*").alias("_b")),
+            "_ft",
+            "outer",
+        )
+        .agg(
+            F.sum(
+                F.coalesce("_a", F.lit(0)) * F.coalesce("_b", F.lit(0))
+            ).alias("sab")
+        )
+        .first()
+    )
+    sumaibi = float(ab["sab"]) / (m * m)
+    return (sumeii - sumaibi) / (1.0 - sumaibi) if sumaibi != 1.0 else float("nan")
+
+
+def jaccard_pairs(graph: LinkGraph, pairs: DataFrame) -> DataFrame:
+    """(a, b, jaccard) — Jaccard neighbor-set similarity for CALLER
+    -SPECIFIED vertex pairs (igraph_similarity_jaccard_pairs,
+    /root/reference/src/cocitation.c:389): same open ALL-mode
+    neighborhood statistic as :func:`jaccard_edge_pairs`, but
+    restricted to the given (a, b) rows instead of connected pairs —
+    the shape a dedup/LSH verify stage wants (candidates in, scores
+    out), with cost ∝ Σ deg over the pair endpoints only, never a
+    neighbor self-join fan-out. Pairs whose union is empty score 0
+    (the reference's convention)."""
+    adj = _sym_simple(graph)
+    deg = adj.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    p = pairs.select("a", "b")
+    common = (
+        p.join(adj.select(F.col("src").alias("a"), F.col("dst").alias("k")), "a")
+        .join(adj.select(F.col("src").alias("b"), F.col("dst").alias("k")), ["b", "k"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        p.join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "deg_a"), "a", "left")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "deg_b"), "b", "left")
+        .join(common, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.when(
+                F.coalesce("deg_a", F.lit(0)) + F.coalesce("deg_b", F.lit(0)) > 0,
+                F.coalesce("n_common", F.lit(0))
+                / (
+                    F.coalesce("deg_a", F.lit(0))
+                    + F.coalesce("deg_b", F.lit(0))
+                    - F.coalesce("n_common", F.lit(0))
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
+
+
 def dice_edge_pairs(graph: LinkGraph) -> DataFrame:
     """Dice similarity 2·|N(a)∩N(b)| / (|N(a)|+|N(b)|) per connected
     pair a<b (igraph_similarity_dice,

@@ -140,6 +140,45 @@ def avg_nearest_neighbor_degree(graph: LinkGraph) -> DataFrame:
     return graph.vertices().join(knn, "id", "left").select("id", "knn")
 
 
+def diversity(graph: LinkGraph) -> DataFrame:
+    """(id, diversity) — structural diversity index: the normalized
+    Shannon entropy of each vertex's incident edge weights
+    (igraph_diversity, /root/reference/src/structural_properties.c:6455
+    — Eagle, Macy & Claxton, Science 328, 2010).
+
+    D(i) = (ln s_i − (Σ_e w_e ln w_e) / s_i) / ln k_i, where the sum
+    runs over i's incident edges, s_i is their weight sum and k_i the
+    ALL-mode degree. The reference's exact expression is reproduced,
+    including its edge cases: k=0 (isolated) and k=1 (leaf) yield NaN
+    (0/0 in the C), and a loop contributes both of its endpoints (the
+    degree-ALL convention). One union + one aggregate — no iteration,
+    no Python; scales as a map-side-combinable groupBy on vertex id.
+    """
+    e = graph.edges
+    incid = e.select(F.col("src").alias("id"), "weight").unionAll(
+        e.select(F.col("dst").alias("id"), "weight")
+    )
+    stats = incid.groupBy("id").agg(
+        F.count("*").alias("_k"),
+        F.sum("weight").alias("_s"),
+        F.sum(F.col("weight") * F.log("weight")).alias("_ent"),
+    )
+    nan = F.lit(float("nan"))
+    return (
+        graph.vertices()
+        .join(stats, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("_k") >= 2,
+                (F.log("_s") - F.col("_ent") / F.col("_s")) / F.log("_k"),
+            )
+            .otherwise(nan)
+            .alias("diversity"),
+        )
+    )
+
+
 def dyad_census(graph: LinkGraph) -> tuple[int, int, int]:
     """(mutual, asymmetric, null) unordered vertex-pair counts
     (igraph_dyad_census, /root/reference/src/motifs.c:818). Loops
