@@ -234,3 +234,98 @@ def test_dominator_tree_linear_chain(spark):
     )
     dom, _ = dominator_tree(g, root=0)
     assert {r["id"]: r["idom"] for r in dom.collect()} == {0: -1, 1: 0, 2: 1, 3: 2}
+
+
+# ------------------------------------------------------- convergence degree
+
+
+def _brute_convergence(n, arcs, directed):
+    """Literal transcription of igraph_convergence_degree's BFS loop
+    (structural_properties.c:4011), keyed by (src, dst) arc."""
+    from collections import defaultdict, deque
+
+    ins = defaultdict(int)
+    outs = defaultdict(int)
+    passes = [("out", ins)] if not directed else [("out", ins), ("in", outs)]
+    for mode, vec in passes:
+        adj = defaultdict(list)  # node -> [(other, key)]
+        for u, v in arcs:
+            key = (u, v)
+            if directed:
+                if mode == "out":
+                    adj[u].append((v, key))
+                else:
+                    adj[v].append((u, key))
+            else:
+                adj[u].append((v, key))
+                adj[v].append((u, key))
+        for i in range(n):
+            geo = {i: 1}
+            q = deque([(i, 0)])
+            while q:
+                act, d = q.popleft()
+                for nbr, key in adj[act]:
+                    tight = False
+                    if nbr in geo:
+                        if geo[nbr] - 1 == d + 1:
+                            tight = True
+                    else:
+                        q.append((nbr, d + 1))
+                        geo[nbr] = d + 2
+                        tight = True
+                    if tight:
+                        if directed:
+                            vec[key] += 1
+                        elif act < nbr:
+                            ins[key] += 1
+                        else:
+                            outs[key] += 1
+    out = {}
+    for key in {(u, v) for u, v in arcs}:
+        k = (min(key), max(key)) if not directed else key
+        i_, o_ = ins[key], outs[key]
+        out[k] = (i_, o_)
+    return out
+
+
+def test_convergence_degree_directed(spark):
+    from xdata_igraph_spark.operators.structure import convergence_degree
+
+    arcs = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0), (1, 3)]
+    g = LinkGraph(
+        spark.createDataFrame([(a, b, 1.0) for a, b in arcs], "src long, dst long, weight double"),
+        directed=True,
+        n=4,
+    )
+    got = {
+        (r["src"], r["dst"]): (r["ins"], r["outs"], r["convergence"])
+        for r in convergence_degree(g).collect()
+    }
+    want = _brute_convergence(4, arcs, directed=True)
+    assert set(got) == set(want)
+    for k, (wi, wo) in want.items():
+        gi, go, gc = got[k]
+        assert (gi, go) == (wi, wo), (k, got[k], want[k])
+        if wi + wo:
+            assert abs(gc - (wi - wo) / (wi + wo)) < 1e-12
+        else:
+            assert math.isnan(gc)
+
+
+def test_convergence_degree_undirected_bridge(spark):
+    from xdata_igraph_spark.operators.structure import convergence_degree
+
+    # two triangles joined by a bridge: the bridge carries all
+    # cross-traffic, |convergence| reflects field asymmetry
+    arcs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3)]
+    g = LinkGraph(
+        spark.createDataFrame([(a, b, 1.0) for a, b in arcs], "src long, dst long, weight double"),
+        directed=False,
+        n=6,
+    )
+    got = {
+        (r["src"], r["dst"]): (r["ins"], r["outs"])
+        for r in convergence_degree(g).collect()
+    }
+    want = _brute_convergence(6, arcs, directed=False)
+    assert got == want

@@ -25,6 +25,7 @@ from xdata_igraph_spark.operators.structure import (
     neighborhood,
     neighborhood_graphs,
     avg_nearest_neighbor_degree,
+    convergence_degree,
     diversity,
     dyad_census,
     linegraph,
@@ -149,6 +150,7 @@ __all__ = [
     "neighborhood",
     "neighborhood_graphs",
     "avg_nearest_neighbor_degree",
+    "convergence_degree",
     "diversity",
     "dyad_census",
     "linegraph",

@@ -179,6 +179,117 @@ def diversity(graph: LinkGraph) -> DataFrame:
     )
 
 
+def convergence_degree(
+    graph: LinkGraph, sources: DataFrame | None = None
+) -> DataFrame:
+    """(src, dst, ins, outs, convergence) — per-edge convergence degree
+    (igraph_convergence_degree,
+    /root/reference/src/structural_properties.c:4011, an XDATA-era
+    extension): ins(e) counts the BFS roots from which e lies on a
+    shortest path into its head ("input field"), outs(e) the roots of
+    the reverse BFS ("output field"); convergence =
+    (ins − outs)/(ins + outs), NaN when the edge lies on no geodesic
+    (the reference's 0/0).
+
+    Directed (the C's two-pass loop): ins(e=(u,v)) = |{s : d(s,u)+1 =
+    d(s,v)}|, outs(e) = |{t : d(v,t)+1 = d(u,t)}|. Undirected (the C's
+    actnode<neighbor split): the tight direction low→high counts into
+    ins, high→low into outs.
+
+    Plan: the same all-sources BFS table the closeness/path-hist
+    family uses — (source, id, dist) — then ONE tight-edge equi-join
+    per field; no per-root Python. Exact over all roots by default
+    (O(n·reached) state, test-scale like the reference's O(V·E));
+    pass ``sources`` (a 1-column DataFrame) to pivot-sample roots —
+    the betweenness-style 100-TB path — where ins/outs become sampled
+    field sizes and the ratio stays an unbiased estimate."""
+    from xdata_igraph_spark.operators.paths import shortest_paths
+
+    # one row per distinct arc; loops are dropped (never on a geodesic
+    # — the reference reports 0/0 = NaN for them), parallel edges share
+    # their pair's row rather than repeating it per edge id
+    e = (
+        graph.edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if graph.directed:
+        d_out = shortest_paths(graph, sources=sources, mode="out")
+        d_in = shortest_paths(graph, sources=sources, mode="in")
+        ins = (
+            e.join(
+                d_out.select("source", F.col("id").alias("src"), F.col("dist").alias("_du")),
+                "src",
+            )
+            .join(
+                d_out.select("source", F.col("id").alias("dst"), F.col("dist").alias("_dv")),
+                ["source", "dst"],
+            )
+            .filter(F.col("_du") + 1 == F.col("_dv"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("ins"))
+        )
+        outs = (
+            e.join(
+                d_in.select("source", F.col("id").alias("dst"), F.col("dist").alias("_dv")),
+                "dst",
+            )
+            .join(
+                d_in.select("source", F.col("id").alias("src"), F.col("dist").alias("_du")),
+                ["source", "src"],
+            )
+            .filter(F.col("_dv") + 1 == F.col("_du"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("outs"))
+        )
+        keyed = e
+    else:
+        d_all = shortest_paths(graph, sources=sources, mode="all")
+        keyed = (
+            e.select(
+                F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+            )
+            .distinct()
+        )
+        lo = d_all.select("source", F.col("id").alias("src"), F.col("dist").alias("_dl"))
+        hi = d_all.select("source", F.col("id").alias("dst"), F.col("dist").alias("_dh"))
+        both = keyed.join(lo, "src").join(hi, ["source", "dst"])
+        ins = (
+            both.filter(F.col("_dl") + 1 == F.col("_dh"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("ins"))
+        )
+        outs = (
+            both.filter(F.col("_dh") + 1 == F.col("_dl"))
+            .groupBy("src", "dst")
+            .agg(F.count("*").alias("outs"))
+        )
+    nan = F.lit(float("nan"))
+    return (
+        keyed.join(ins, ["src", "dst"], "left")
+        .join(outs, ["src", "dst"], "left")
+        .select(
+            "src",
+            "dst",
+            F.coalesce("ins", F.lit(0)).alias("ins"),
+            F.coalesce("outs", F.lit(0)).alias("outs"),
+        )
+        .select(
+            "src",
+            "dst",
+            "ins",
+            "outs",
+            F.when(
+                F.col("ins") + F.col("outs") > 0,
+                (F.col("ins") - F.col("outs"))
+                / (F.col("ins") + F.col("outs")),
+            )
+            .otherwise(nan)
+            .alias("convergence"),
+        )
+    )
+
+
 def dyad_census(graph: LinkGraph) -> tuple[int, int, int]:
     """(mutual, asymmetric, null) unordered vertex-pair counts
     (igraph_dyad_census, /root/reference/src/motifs.c:818). Loops
