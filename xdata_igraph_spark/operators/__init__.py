@@ -28,6 +28,7 @@ from xdata_igraph_spark.operators.structure import (
     convergence_degree,
     diversity,
     dyad_census,
+    get_laplacian,
     linegraph,
     permute_vertices,
 )
@@ -95,7 +96,10 @@ from xdata_igraph_spark.operators.chordal import (
     maximum_cardinality_search,
     is_chordal,
 )
-from xdata_igraph_spark.operators.paths import get_all_simple_paths
+from xdata_igraph_spark.operators.paths import (
+    get_all_simple_paths,
+    transitive_closure_dag,
+)
 from xdata_igraph_spark.operators.biconnected import (
     articulation_points,
     bridges,
@@ -193,6 +197,8 @@ __all__ = [
     "maximum_cardinality_search",
     "is_chordal",
     "get_all_simple_paths",
+    "transitive_closure_dag",
+    "get_laplacian",
     "articulation_points",
     "bridges",
     "biconnected_components",

@@ -179,6 +179,67 @@ def diversity(graph: LinkGraph) -> DataFrame:
     )
 
 
+def get_laplacian(graph: LinkGraph, normalized: bool = False) -> DataFrame:
+    """Graph Laplacian as distributed sparse triples (row, col, value)
+    (igraph_laplacian, /root/reference/src/spectral_properties.c:272,
+    weighted form :30).
+
+    Matches the C exactly, with ``weight`` playing the weights vector
+    (all-1.0 defaults reproduce the unweighted form): the degree is the
+    non-loop OUT-strength (undirected = total strength); unnormalized
+    L = D − A with parallel-edge weights accumulating; normalized is
+    the C's random-walk/symmetric split — directed: diag 1 (0 for
+    isolated), off-diag −w/d(from); undirected: diag 1/0, off-diag
+    −w/√(d_from·d_to), both orientations emitted. Loops are ignored
+    everywhere (the C skips from==to). One aggregate + one broadcast-
+    able degree join — the sparse output stays a DataFrame; a dense
+    matrix at test scale is one pivot away (get_adjacency's guard
+    applies)."""
+    e = graph.edges.filter(F.col("src") != F.col("dst"))
+    if not graph.directed:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+    # after symmetrization, OUT-strength == the C's degree in both modes
+    deg = e.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("_d"))
+    deg = graph.vertices().join(deg, "id", "left").select(
+        "id", F.coalesce("_d", F.lit(0.0)).alias("_d")
+    )
+    offdiag = e.groupBy("src", "dst").agg(F.sum("weight").alias("_w"))
+    if not normalized:
+        diag = deg.select(
+            F.col("id").alias("row"), F.col("id").alias("col"), F.col("_d").alias("value")
+        )
+        off = offdiag.select(
+            F.col("src").alias("row"), F.col("dst").alias("col"), (-F.col("_w")).alias("value")
+        )
+        return diag.unionByName(off)
+    diag = deg.select(
+        F.col("id").alias("row"),
+        F.col("id").alias("col"),
+        F.when(F.col("_d") > 0, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+    )
+    dl = deg.withColumnRenamed("id", "src").withColumnRenamed("_d", "_df")
+    if graph.directed:
+        off = offdiag.join(dl, "src").select(
+            F.col("src").alias("row"),
+            F.col("dst").alias("col"),
+            (-F.col("_w") / F.col("_df")).alias("value"),
+        )
+    else:
+        dr = deg.withColumnRenamed("id", "dst").withColumnRenamed("_d", "_dt")
+        off = (
+            offdiag.join(dl, "src")
+            .join(dr, "dst")
+            .select(
+                F.col("src").alias("row"),
+                F.col("dst").alias("col"),
+                (-F.col("_w") / F.sqrt(F.col("_df") * F.col("_dt"))).alias("value"),
+            )
+        )
+    return diag.unionByName(off)
+
+
 def convergence_degree(
     graph: LinkGraph, sources: DataFrame | None = None
 ) -> DataFrame:

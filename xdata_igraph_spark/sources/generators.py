@@ -1010,3 +1010,209 @@ def interconnected_islands(
     )
     e = intra.unionByName(inter).distinct()
     return _graph(e, directed=False, n=n)
+
+
+def rewire_edges(
+    graph: LinkGraph, prob: float, loops: bool = False, seed: int = 42
+) -> LinkGraph:
+    """Rewire each edge endpoint to a uniform random vertex with
+    probability ``prob`` (igraph_rewire_edges,
+    /root/reference/src/games.c:2800, the multiple-allowed branch —
+    the no-multiple variant (:2645) is an inherently sequential
+    stub-list walk; simplify() afterwards collapses duplicates when
+    that is the intent).
+
+    Endpoints are decided sequentially like the C (first the tail,
+    then the head against the possibly-new tail), with seeded
+    xxhash64 coins/targets keyed by the dense edge id. With
+    ``loops=False`` targets are drawn from the n−1 non-loop vertices
+    (the C redraws; same uniform law without the rejection loop).
+
+    Vertex ids need NOT be dense 0..n−1: the draw is made in a dense
+    index space and mapped back through the vertex table (two
+    broadcast-able joins); with the implicit dense-id contract
+    (explicit n) the map is the identity but the plan is kept uniform.
+    The output keeps the input's vertex universe."""
+    if not 0.0 <= prob <= 1.0:
+        raise ValueError("prob must be in [0, 1]")
+    n = graph.vcount()
+    if n < 2 or prob == 0.0:
+        return graph
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+    vix = zip_dense_ids(graph.vertices(), ["id"], out_col="_ix")
+    e = (
+        graph.edge_ids()
+        .join(vix.select(F.col("id").alias("src"), F.col("_ix").alias("_sx")), "src")
+        .join(vix.select(F.col("id").alias("dst"), F.col("_ix").alias("_dx")), "dst")
+    )
+
+    def coin(tag: str):
+        return (
+            F.pmod(F.xxhash64("eid", F.lit(seed), F.lit(tag)), F.lit(1 << 31))
+            / float(1 << 31)
+        ) < prob
+
+    def target(tag: str, avoid):
+        if loops:
+            return F.pmod(F.xxhash64("eid", F.lit(seed), F.lit(tag + "t")), F.lit(n))
+        raw = F.pmod(F.xxhash64("eid", F.lit(seed), F.lit(tag + "t")), F.lit(n - 1))
+        return F.when(raw >= avoid, raw + 1).otherwise(raw)
+
+    e = e.withColumn(
+        "_nsx",
+        F.when(coin("a"), target("a", F.col("_dx"))).otherwise(F.col("_sx")).cast("long"),
+    )
+    e = e.withColumn(
+        "_ndx",
+        F.when(coin("b"), target("b", F.col("_nsx"))).otherwise(F.col("_dx")).cast("long"),
+    )
+    out = (
+        e.join(vix.select(F.col("_ix").alias("_nsx"), F.col("id").alias("_ns")), "_nsx")
+        .join(vix.select(F.col("_ix").alias("_ndx"), F.col("id").alias("_nd")), "_ndx")
+        .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"), "weight")
+    )
+    # rewiring never changes the vertex universe; for implicit
+    # (endpoint-derived) graphs pin it explicitly, since an endpoint
+    # that loses all edges must stay a (now isolated) vertex
+    verts = graph._vertices
+    if verts is None and graph._n is None:
+        verts = graph.vertices()
+    return LinkGraph(out, directed=graph.directed, n=graph._n, vertices=verts)
+
+
+def rewire(
+    graph: LinkGraph, n_trials: int, mode: str = "simple", seed: int = 42
+) -> LinkGraph:
+    """Degree-preserving rewiring by double-edge swaps (igraph_rewire,
+    /root/reference/src/structural_properties.c:1544): repeatedly pick
+    two edges (a,b), (c,d) and replace them with (a,d), (c,b) when the
+    swap creates no loop and no multiple edge ("simple" mode; mode
+    "loops" permits loops like IGRAPH_REWIRING_SIMPLE_LOOPS). Every
+    vertex keeps its exact in-/out-/total degree.
+
+    The reference draws trials one at a time; here each superstep
+    proposes ~|E|/2 swaps at once — edges are hash-paired inside
+    random buckets, and a pair commits only if both replacement edges
+    (i) are loop-free (simple mode), (ii) do not already exist in the
+    graph, and (iii) collide with no other edge proposed this round
+    (two global anti-join/count checks). Batched Metropolis-style
+    proposal rounds share the sequential walk's stationary law; the
+    number of rounds is ceil(n_trials / (|E|/2)).
+    """
+    if mode not in ("simple", "loops"):
+        raise ValueError(f"mode must be 'simple' or 'loops' (got {mode!r})")
+    if n_trials < 0:
+        raise ValueError("n_trials must be >= 0")
+    m = graph.ecount()
+    if m < 2 or n_trials == 0:
+        return graph
+    if graph.vcount() < 4 and mode == "simple":
+        raise ValueError(
+            "graph unsuitable for rewiring (the reference requires >= 4 "
+            "vertices for IGRAPH_REWIRING_SIMPLE)"
+        )
+    per_round = max(1, m // 2)
+    rounds = -(-int(n_trials) // per_round)
+    # pin the input rows once: each round's job reads `edges` through
+    # several branches (pairing window, existence anti-join, revert
+    # paths) — a live upstream plan re-evaluated per branch must not be
+    # able to disagree with itself (the superstep-loop discipline of
+    # plans/checkpointing.py)
+    edges = graph.edges.select("src", "dst", "weight").localCheckpointFlat(
+        eager=True
+    )
+
+    def canon(s, d):
+        if graph.directed:
+            return F.struct(s.alias("s"), d.alias("d"))
+        return F.struct(F.least(s, d).alias("s"), F.greatest(s, d).alias("d"))
+
+    for r in range(rounds):
+        key = F.xxhash64("src", "dst", F.lit(seed), F.lit(r))
+        tagged = edges.withColumn("_b", F.pmod(key, F.lit(m))).withColumn("_k", key)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_b").orderBy("_k", "src", "dst")
+        ranked = tagged.withColumn("_rn", F.row_number().over(w))
+        first = ranked.filter(F.col("_rn") == 1).select(
+            "_b",
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.col("weight").alias("w1"),
+        )
+        second = ranked.filter(F.col("_rn") == 2).select(
+            "_b",
+            F.col("src").alias("c"),
+            F.col("dst").alias("d"),
+            F.col("weight").alias("w2"),
+        )
+        rest = ranked.filter(F.col("_rn") > 2).select("src", "dst", "weight")
+        both = first.join(second, "_b", "left")
+        # a bucket that drew a single edge proposes nothing this round
+        singles = both.filter(F.col("c").isNull()).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w1").alias("weight")
+        )
+        rest = rest.unionByName(singles)
+        pairs = both.filter(F.col("c").isNotNull())
+        ok = F.lit(True)
+        if mode == "simple":
+            ok = (F.col("a") != F.col("d")) & (F.col("c") != F.col("b"))
+        # proposing (a,d) and (c,b); identity swaps are harmless but
+        # wasteful — drop them from the proposal set
+        ok = ok & ~((F.col("a") == F.col("c")) & (F.col("b") == F.col("d")))
+        prop = pairs.filter(ok)
+        keep_pairs = pairs.filter(~ok)
+        new1 = prop.select("_b", F.col("a").alias("src"), F.col("d").alias("dst"), F.col("w1").alias("weight"))
+        new2 = prop.select("_b", F.col("c").alias("src"), F.col("b").alias("dst"), F.col("w2").alias("weight"))
+        cand = new1.unionByName(new2)
+        # (ii) replacement must not already exist anywhere in the graph
+        exists = (
+            cand.select("_b", canon(F.col("src"), F.col("dst")).alias("_e"))
+            .join(
+                edges.select(canon(F.col("src"), F.col("dst")).alias("_e")).distinct(),
+                "_e",
+                "left_semi",
+            )
+            .select("_b")
+            .distinct()
+        )
+        # (iii) nor collide with another proposal from this round
+        dup = (
+            cand.select("_b", canon(F.col("src"), F.col("dst")).alias("_e"))
+            .groupBy("_e")
+            .agg(F.count("*").alias("_c"), F.collect_set("_b").alias("_bs"))
+            .filter(F.col("_c") > 1)
+            .select(F.explode("_bs").alias("_b"))
+            .distinct()
+        )
+        bad = exists.unionByName(dup).distinct()
+        applied = cand.join(bad, "_b", "left_anti").select("src", "dst", "weight")
+        reverted = (
+            prop.join(bad, "_b", "left_semi")
+            .select(
+                F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w1").alias("weight")
+            )
+            .unionByName(
+                prop.join(bad, "_b", "left_semi").select(
+                    F.col("c").alias("src"), F.col("d").alias("dst"), F.col("w2").alias("weight")
+                )
+            )
+        )
+        kept = keep_pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w1").alias("weight")
+        ).unionByName(
+            keep_pairs.select(
+                F.col("c").alias("src"), F.col("d").alias("dst"), F.col("w2").alias("weight")
+            )
+        )
+        edges = (
+            rest.unionByName(applied).unionByName(reverted).unionByName(kept)
+            .localCheckpointFlat(eager=True)
+        )
+    # swaps never change the vertex universe — carry it through
+    # verbatim (an explicit vcount would re-mint dense 0..n-1 ids and
+    # corrupt sparse-id graphs' vertex tables)
+    return LinkGraph(
+        edges, directed=graph.directed, n=graph._n, vertices=graph._vertices
+    )
