@@ -185,3 +185,38 @@ def test_rewire_sparse_vertex_ids(spark):
     assert ends <= vids
     assert rwe.vcount() == g.vcount()
     assert rwe.edges.filter(F.col("src") == F.col("dst")).count() == 0
+
+
+# -------------------------------------------------------- feedback arc set
+
+
+def test_feedback_arc_set_directed_makes_dag(spark):
+    from xdata_igraph_spark.operators.feedback import feedback_arc_set
+    from xdata_igraph_spark.operators.paths import is_dag
+
+    # two overlapping cycles + a DAG tail
+    arcs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (4, 5), (5, 6)]
+    g = _wg(spark, [(a, b, 1.0) for a, b in arcs], 7, directed=True)
+    fas = feedback_arc_set(g)
+    removed = {(r["src"], r["dst"]) for r in fas.collect()}
+    assert 1 <= len(removed) <= len(arcs) // 2  # Eades bound |E|/2 - |V|/6
+    rest = g.edges.join(fas.select("src", "dst"), ["src", "dst"], "left_anti")
+    assert is_dag(LinkGraph(rest, directed=True, n=7))
+
+
+def test_feedback_arc_set_on_dag_is_empty(spark):
+    from xdata_igraph_spark.operators.feedback import feedback_arc_set
+
+    g = _wg(spark, [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)], 3, directed=True)
+    assert feedback_arc_set(g).count() == 0
+
+
+def test_feedback_arc_set_undirected_is_mst_complement(spark):
+    from xdata_igraph_spark.operators.feedback import feedback_arc_set
+
+    # weighted: must drop exactly the LIGHTEST edges of each cycle
+    rows = [(0, 1, 5.0), (1, 2, 5.0), (2, 0, 1.0), (2, 3, 4.0), (3, 0, 1.5)]
+    g = _wg(spark, rows, 4, directed=False)
+    removed = {(r["src"], r["dst"]) for r in feedback_arc_set(g).collect()}
+    # max spanning forest keeps {01, 12, 23}; drops 20 (w1) and 30 (w1.5)
+    assert removed == {(2, 0), (3, 0)}

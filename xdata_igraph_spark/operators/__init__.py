@@ -89,6 +89,7 @@ from xdata_igraph_spark.operators.subiso import (
     count_isomorphisms,
     count_automorphisms,
 )
+from xdata_igraph_spark.operators.feedback import feedback_arc_set
 from xdata_igraph_spark.operators.epidemics import sir
 from xdata_igraph_spark.operators.walks import random_walks, walk_sentences
 from xdata_igraph_spark.operators.mst import minimum_spanning_tree, mst_total_weight
@@ -183,6 +184,7 @@ __all__ = [
     "adhesion",
     "cohesion",
     "dominator_tree",
+    "feedback_arc_set",
     "subisomorphisms",
     "count_subisomorphisms",
     "subisomorphic",
