@@ -661,26 +661,50 @@ def _q_constraint(spark, sf_dir):
 
 
 def _q_louvain(spark, sf_dir):
-    # no SQL oracle: iterative modularity optimization is not
-    # SQL-expressible; the driver records the rows-only check and
-    # pytest asserts partition quality (ring-of-cliques exact, karate
-    # modularity floor)
+    # Verifiable certificate for a nondeterministic partition: the
+    # membership itself has no SQL oracle (iterative modularity
+    # optimization), but its CONTRACT does — every sparse-graph vertex
+    # got exactly one label (n_vertices) and the partition clears a
+    # modularity floor far below the observed Q (measured 0.9407 at
+    # sf0.01; floor 0.5 tolerates any seed/partitioning drift while
+    # still rejecting a broken partition, whose Q on this graph is
+    # ~0.0 for singletons / random labels). pytest separately asserts
+    # exact partitions on planted fixtures (ring-of-cliques, karate).
     from xdata_igraph_spark.operators.louvain import multilevel_communities
+    from xdata_igraph_spark.operators.lpa import modularity
 
     g = _sparse_graph(spark, sf_dir)
-    return multilevel_communities(g)
+    mem = multilevel_communities(g)
+    n = mem.count()
+    q = modularity(g, mem)
+    return spark.createDataFrame(
+        [(int(n), bool(q >= 0.5))], "n_vertices: long, q_above_floor: boolean"
+    )
 
 
 def _q_ase(spark, sf_dir):
-    # no SQL oracle (iterative eigensolve); pytest verifies against a
-    # dense numpy eigendecomposition
+    # Verifiable certificate for the iterative eigensolve: per-vertex
+    # residual |(A·x0)_i − λ0·x0_i| ≤ 1e-8·|λ0|·max|x0| for the
+    # dominant eigenpair (oracle: every dense-graph vertex flags true).
+    # The certificate covers the DOMINANT pair only: the sf0.01 dense
+    # graph's 2nd eigenvalue (-22.1) sits at the edge of a
+    # near-degenerate spectral bulk (|λ3/λ2| = 0.986) where subspace
+    # iteration — and any bounded-matvec Krylov method — cannot reach
+    # tight residuals; pytest covers multi-pair accuracy on
+    # well-separated fixtures vs numpy eigh.
     from xdata_igraph_spark.operators.embedding import (
         adjacency_spectral_embedding,
+        eigenpair_residuals,
     )
 
     g = _dense_graph(spark, sf_dir)
-    X, _l = adjacency_spectral_embedding(g, no=2, max_iter=100, tol=1e-10)
-    return X.select("id", F.round(F.abs("x0"), 5).alias("ax0"))
+    X, lam = adjacency_spectral_embedding(g, no=2, max_iter=100, tol=1e-10)
+    res = eigenpair_residuals(g, X, lam, pairs=[0])
+    scale = abs(lam[0]) or 1.0
+    xmax = X.agg(F.max(F.abs("x0"))).first()[0] or 1.0
+    return res.select(
+        "id", (F.col("r_x0") <= F.lit(1e-8 * scale * xmax)).alias("resid_ok")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1203,7 +1227,7 @@ walk AS (
   SELECT dag.dst AS id FROM walk JOIN dag ON dag.src = walk.id
 )
 SELECT w.id AS target, CAST(count(*) AS BIGINT) AS nrgeo,
-       CAST(d.dist AS DOUBLE) AS dist
+       CAST(d.dist AS BIGINT) AS dist
 FROM walk w JOIN d ON d.id = w.id
 GROUP BY w.id, d.dist"""
 
@@ -1792,5 +1816,17 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS wind
        count(*) AS n,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2"""
+
+    # Certificate oracles for the two iterative/nondeterministic
+    # operators (r4 verdict item: zero rows-only slots). The Spark side
+    # computes the hard part (Louvain membership + its modularity, the
+    # eigenpair + its per-vertex residual); the oracle pins the
+    # checkable contract — exact vertex coverage and all-true flags.
+    sql["louvain_communities"] = f"""WITH {SPARSE_EDGES_SQL}
+SELECT CAST(count(*) AS BIGINT) AS n_vertices, true AS q_above_floor
+FROM verts"""
+
+    sql["ase_embedding"] = f"""WITH {DENSE_EDGES_SQL}
+SELECT id, true AS resid_ok FROM verts"""
 
     return sql

@@ -21,19 +21,24 @@ TABLES = [
 
 
 def norm(v):
+    # Type-faithful: the driver's value hash is representation-
+    # sensitive, so an INT on one side and a FLOAT on the other must
+    # NOT compare equal here (r4 lesson: all_geodesics' BIGINT-vs-
+    # DOUBLE dist skew was masked by an int==float norm). Floats are
+    # tagged so Python's 3 == 3.0 can't hide a type skew.
     if v is None:
         return None
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return round(v, 12)
+            return ("f", "NaN")
+        return ("f", round(v, 12))
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     try:
         import decimal
 
         if isinstance(v, decimal.Decimal):
-            return round(float(v), 12)
+            return ("f", round(float(v), 12))
     except ImportError:
         pass
     return v

@@ -218,3 +218,46 @@ def adjacency_spectral_embedding(
             col = col * float(math.sqrt(abs(w[j])))
         out_cols.append(col.alias(f"x{pos}"))
     return state.select("id", *out_cols), lambdas_sorted
+
+
+def eigenpair_residuals(
+    graph: LinkGraph,
+    X: DataFrame,
+    eigenvalues: list[float],
+    pairs: list[int] | None = None,
+    weighted: bool = True,
+) -> DataFrame:
+    """Per-vertex eigenpair residuals |(A·x_j)_i − λ_j·x_j[i]| →
+    (id, r_x{j}...) for the requested pairs.
+
+    A is the same symmetrized (IGRAPH_ALL) weighted adjacency the
+    embedding iterated, so the residual is an exact a-posteriori
+    convergence certificate for `adjacency_spectral_embedding`'s
+    output: a converged pair has r ≈ 0 at every vertex regardless of
+    the column scaling (A·(u·s) = λ·(u·s) for any scalar s). Used by
+    the driver contract to turn the eigensolve into an oracle-checkable
+    query. One edge join + one aggregate — no driver-side matrices.
+    """
+    pairs = list(range(len(eigenvalues))) if pairs is None else pairs
+    xs = [f"x{j}" for j in pairs]
+    e = graph.edges if weighted else graph.edges.withColumn("weight", F.lit(1.0))
+    e = e.select("src", "dst", "weight")
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    msgs = (
+        X.select(F.col("id").alias("src"), *xs)
+        .join(sym, "src")
+        .groupBy("dst")
+        .agg(*[F.sum(F.col("weight") * F.col(x)).alias(f"y_{x}") for x in xs])
+    )
+    return X.join(msgs, X.id == msgs.dst, "left").select(
+        "id",
+        *[
+            F.abs(
+                F.coalesce(F.col(f"y_{x}"), F.lit(0.0))
+                - F.lit(float(eigenvalues[j])) * F.col(x)
+            ).alias(f"r_{x}")
+            for x, j in zip(xs, pairs)
+        ],
+    )
