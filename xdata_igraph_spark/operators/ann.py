@@ -78,6 +78,24 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """LONG sign-bit pattern: bit j set iff dot(vec, plane_j) >= 0.
+    A long key hash-joins and XOR-flips JVM-side — no string concat,
+    no string shuffle keys (r4 perf lesson: string buckets + a
+    9-branch multiprobe UNION made srp_topk compile-bound)."""
+    bits = None
+    for j, p in enumerate(planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane_lit, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        b = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = b if bits is None else bits + b
+    return bits.cast("long")
+
+
 def srp_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,
@@ -86,19 +104,11 @@ def srp_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, bucket) — signed-random-projection bucket string."""
-    planes = _planes(dim, n_planes, seed)
-    bits = []
-    for p in planes:
-        plane_lit = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane_lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    """(id, bucket) — signed-random-projection bucket as a LONG bit
+    pattern (bit j = sign of the j-th hyperplane dot product)."""
     return embeddings.select(
-        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
+        F.col(id_col).alias("id"),
+        _bucket_expr(vec_col, _planes(dim, n_planes, seed)).alias("bucket"),
     )
 
 
@@ -129,35 +139,60 @@ def srp_topk(
         raise ValueError("multiprobe radius supported: 0, 1, 2")
     import itertools as _it
 
-    cand = None
-    for t in range(n_tables):
-        b = srp_buckets(embeddings, n_planes, dim, seed=42 + t, id_col=id_col, vec_col=vec_col)
-        probes = b.select(F.col("id").alias("query_id"), "bucket")
-        if multiprobe:
-            flips = []
-            for r in range(1, multiprobe + 1):
-                flips.extend(_it.combinations(range(n_planes), r))
-            variants = [probes]
-            for fl in flips:
-                expr = F.col("bucket")
-                for pos in fl:
-                    expr = F.concat(
-                        F.substring(expr, 1, pos),
-                        F.when(
-                            F.substring(expr, pos + 1, 1) == "1", F.lit("0")
-                        ).otherwise(F.lit("1")),
-                        F.substring(expr, pos + 2, n_planes - pos - 1),
+    # All tables' buckets in ONE pass: per-table LONG keys tagged with
+    # the table id in the high bits (bucket < 2^n_planes, so
+    # t << n_planes never collides across tables and XOR probe flips
+    # only touch the low bits). The probe variants are a single
+    # exploded array of XOR masks — one plan branch total, vs r4's
+    # (1 + probes)·tables UNION of string-keyed branches.
+    masks = [0]
+    for r in range(1, multiprobe + 1):
+        for fl in _it.combinations(range(n_planes), r):
+            m = 0
+            for pos in fl:
+                m |= 1 << pos
+            masks.append(m)
+
+    bcols = [
+        (
+            _bucket_expr(vec_col, _planes(dim, n_planes, seed=42 + t))
+            + F.lit(t << n_planes)
+        ).alias(f"b{t}")
+        for t in range(n_tables)
+    ]
+    b = embeddings.select(F.col(id_col).alias("id"), *bcols)
+
+    base = b.select(
+        F.col("id").alias("neighbor_id"),
+        F.explode(F.array(*[F.col(f"b{t}") for t in range(n_tables)])).alias("key"),
+    )
+    if multiprobe:
+        probes = b.select(
+            F.col("id").alias("query_id"),
+            F.explode(
+                F.flatten(
+                    F.array(
+                        *[
+                            F.array(
+                                *[
+                                    F.col(f"b{t}").bitwiseXOR(F.lit(m))
+                                    for m in masks
+                                ]
+                            )
+                            for t in range(n_tables)
+                        ]
                     )
-                variants.append(probes.select("query_id", expr.alias("bucket")))
-            probes = variants[0]
-            for v in variants[1:]:
-                probes = probes.union(v)
-        t2 = b.select(F.col("id").alias("neighbor_id"), "bucket")
-        pairs = probes.join(t2, "bucket").filter(
-            F.col("query_id") != F.col("neighbor_id")
-        ).select("query_id", "neighbor_id")
-        cand = pairs if cand is None else cand.union(pairs)
-    cand = cand.distinct()
+                )
+            ).alias("key"),
+        )
+    else:
+        probes = base.select(F.col("neighbor_id").alias("query_id"), "key")
+    cand = (
+        probes.join(base, "key")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     nv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     scored = (
