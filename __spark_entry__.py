@@ -127,19 +127,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_degrees(spark, sf_dir):
-    # out/in/all in one result — one registry slot covers all three
-    # degree modes (the driver checks only the first 50 dict entries;
-    # see the registry note on queries())
+    # out/in/all degree AND all-mode strength in one result — one
+    # registry slot covers the whole degree/strength scan family (the
+    # driver checks only the first 50 dict entries; see the registry
+    # note on queries()). r5: strength folded in here to free a slot
+    # for graphlets_basis without losing its hash check.
     g = _dense_graph(spark, sf_dir)
     out = g.degrees("out").withColumnRenamed("degree", "deg_out")
     inn = g.degrees("in").withColumnRenamed("degree", "deg_in")
     al = g.degrees("all").withColumnRenamed("degree", "deg_all")
-    return out.join(inn, "id").join(al, "id")
+    return out.join(inn, "id").join(al, "id").join(g.strength("all"), "id")
 
 
-def _q_strength(spark, sf_dir):
-    g = _dense_graph(spark, sf_dir)
-    return g.strength("all")
+def _q_graphlets_basis(spark, sf_dir):
+    # XDATA graphlet decomposition candidate basis on a small weighted
+    # co-occurrence fixture (4 distinct thresholds, ~2.1k basis
+    # cliques at sf0.01); the projection step is pytest-verified
+    # against the reference's own naive oracle (test_graphlets.py)
+    from xdata_igraph_spark.operators.graphlets import (
+        graphlets_candidate_basis,
+    )
+
+    li = _li(spark, sf_dir)
+    e = (
+        li.filter(F.col("l_quantity") <= 2)
+        .select(
+            (F.col("l_orderkey") % 400).alias("o"),
+            (F.col("l_partkey") % 400).alias("p"),
+            F.col("l_quantity").alias("q"),
+        )
+        .filter(F.col("o") != F.col("p"))
+        .select(
+            F.least("o", "p").alias("src"),
+            F.greatest("o", "p").alias("dst"),
+            "q",
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("q").cast("double").alias("weight"))
+    )
+    g = LinkGraph(e, directed=False)
+    return graphlets_candidate_basis(g).select(
+        F.concat_ws("-", F.col("members")).alias("clique"), "thr"
+    )
 
 
 def _q_simplify(spark, sf_dir):
@@ -720,7 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     and its log is committed per round as CONTRACT_r{N}.txt."""
     return {
         "degrees": _q_degrees,
-        "strength_all": _q_strength,
+        "graphlets_basis": _q_graphlets_basis,
         "simplify_edges": _q_simplify,
         "reciprocity": _q_reciprocity,
         "triangle_tx": _q_triangle_tx,
@@ -779,14 +808,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _DEGREES_SQL = f"""WITH {DENSE_EDGES_SQL},
 co AS (SELECT src AS id, count(*) AS d FROM edges GROUP BY src),
-ci AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst)
+ci AS (SELECT dst AS id, count(*) AS d FROM edges GROUP BY dst),
+st AS (
+  SELECT id, sum(weight) AS st FROM (
+    SELECT src AS id, weight FROM edges
+    UNION ALL SELECT dst, weight FROM edges
+  ) GROUP BY id
+)
 SELECT v.id,
        CAST(coalesce(co.d, 0) AS BIGINT) AS deg_out,
        CAST(coalesce(ci.d, 0) AS BIGINT) AS deg_in,
-       CAST(coalesce(co.d, 0) + coalesce(ci.d, 0) AS BIGINT) AS deg_all
+       CAST(coalesce(co.d, 0) + coalesce(ci.d, 0) AS BIGINT) AS deg_all,
+       coalesce(st.st, 0.0) AS strength
 FROM verts v
 LEFT JOIN co ON v.id = co.id
-LEFT JOIN ci ON v.id = ci.id"""
+LEFT JOIN ci ON v.id = ci.id
+LEFT JOIN st ON v.id = st.id"""
 
 
 def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
@@ -833,15 +870,53 @@ def oracle_sql() -> dict[str, str]:
 
     sql["degrees"] = _DEGREES_SQL
 
-    sql["strength_all"] = f"""WITH {DENSE_EDGES_SQL},
-s AS (
-  SELECT id, sum(weight) AS st FROM (
-    SELECT src AS id, weight FROM edges
-    UNION ALL SELECT dst, weight FROM edges
-  ) GROUP BY id
+    # graphlets candidate basis: recursive ordered clique enumeration
+    # over the weighted fixture, per-clique thr = min internal weight,
+    # then the maximality-at-thr filter (a clique is in the basis iff
+    # maximal in the >=thr subgraph — equivalent to the reference's
+    # per-threshold union, see operators/graphlets.py docstring)
+    sql["graphlets_basis"] = """WITH RECURSIVE
+base AS (
+  SELECT least(o, p) AS src, greatest(o, p) AS dst,
+         CAST(sum(q) AS DOUBLE) AS w
+  FROM (SELECT l_orderkey % 400 AS o, l_partkey % 400 AS p,
+               l_quantity AS q
+        FROM lineitem WHERE l_quantity <= 2)
+  WHERE o <> p GROUP BY 1, 2),
+nbrs AS (
+  SELECT id, list(o ORDER BY o) AS ns FROM (
+    SELECT src AS id, dst AS o FROM base UNION ALL SELECT dst, src FROM base
+  ) GROUP BY id),
+cl AS (
+  SELECT [src, dst] AS members, dst AS last FROM base
+  UNION ALL
+  SELECT list_append(c.members, e.dst), e.dst
+  FROM cl c JOIN base e ON e.src = c.last
+  JOIN nbrs n ON n.id = e.dst
+  WHERE list_has_all(n.ns, c.members)
+),
+p0 AS (SELECT members, unnest(members) AS m1 FROM cl),
+p1 AS (SELECT members, m1, unnest(members) AS m2 FROM p0),
+mw AS (
+  SELECT p.members, min(b.w) AS thr
+  FROM (SELECT * FROM p1 WHERE m1 < m2) p
+  JOIN base b ON b.src = p.m1 AND b.dst = p.m2
+  GROUP BY p.members),
+expand0 AS (SELECT members, thr, unnest(members) AS m FROM mw),
+ext AS (
+  SELECT e0.members,
+         CASE WHEN b.src = e0.m THEN b.dst ELSE b.src END AS v
+  FROM expand0 e0
+  JOIN base b ON (b.src = e0.m OR b.dst = e0.m) AND b.w >= e0.thr
+  WHERE NOT list_contains(e0.members,
+                          CASE WHEN b.src = e0.m THEN b.dst ELSE b.src END)
+  GROUP BY e0.members, v
+  HAVING count(*) = len(e0.members)
 )
-SELECT v.id, coalesce(s.st, 0.0) AS strength
-FROM verts v LEFT JOIN s ON v.id = s.id"""
+SELECT array_to_string(list_sort(mw.members), '-') AS clique,
+       CAST(mw.thr AS DOUBLE) AS thr
+FROM mw LEFT JOIN ext ON mw.members = ext.members
+WHERE ext.members IS NULL"""
 
     sql["simplify_edges"] = f"WITH {DENSE_EDGES_SQL}\nSELECT src, dst, weight FROM edges"
 

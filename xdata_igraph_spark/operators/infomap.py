@@ -13,8 +13,8 @@ Flow model: undirected link dynamics — the random walk's stationary
 visit rate is exactly p_a = k_a / 2m (no power iteration needed), and
 a module m's exit probability is its cut: q_m = cut(m) / 2m. Directed
 input is symmetrized like the reference's undirected mode (its
-directed mode runs PageRank-with-teleportation flow; that variant is
-out of scope here and documented as such).
+directed mode runs PageRank-with-teleportation flow — implemented
+below as ``infomap_communities_directed``).
 
 Two-level codelength, expanded module-aggregate form (logs base 2,
 f(x) = x·log2(x), f(0) = 0):
