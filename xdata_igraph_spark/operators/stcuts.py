@@ -270,6 +270,16 @@ def all_st_mincuts(
         raise ValueError("source and target must differ")
 
     cap, adj0 = _collect_network(graph, capacity_col, max_edges)
+    value, out = min_cut_edge_sets(cap, adj0, source, target, max_cuts)
+    p, c = _as_dataframes(graph.spark, out)
+    return value, p, c
+
+
+def min_cut_edge_sets(cap, adj0, source, target, max_cuts=100_000):
+    """Core enumeration over a prepared (cap, adj) network → (value,
+    [(partition frozenset, cut-edge frozenset)...]). Shared by
+    all_st_mincuts and minimum_size_separators (operators/cohesive.py),
+    which runs it on vertex-split networks."""
     value, flow = _ek_flow(cap, adj0, source, target)
 
     verts = set([source, target])
@@ -340,5 +350,4 @@ def all_st_mincuts(
         P = frozenset(_forward_reach(adj, [source], blocked_edges=C))
         pairs[C] = P
     out = sorted(((P, C) for C, P in pairs.items()), key=lambda pc: sorted(pc[0]))
-    p, c = _as_dataframes(graph.spark, out)
-    return value, p, c
+    return value, out
