@@ -175,7 +175,16 @@ def main() -> None:
         ).count(),
         reps=1,
     )
-    extra["lpa_changed_per_sweep"] = [h.delta for h in lpa_runner.history]
+    deltas = [h.delta for h in lpa_runner.history]
+    extra["lpa_changed_per_sweep"] = deltas
+    # damping="half" alternates move-eligible halves by sweep parity,
+    # so consecutive sweeps measure DIFFERENT halves — the comparable
+    # unit is the parity PAIR (both halves covered once); r4's
+    # per-sweep list zig-zagged for exactly this reason
+    extra["lpa_changed_per_parity_pair"] = [
+        (deltas[i] or 0) + (deltas[i + 1] or 0)
+        for i in range(0, len(deltas) - 1, 2)
+    ]
 
     from xdata_igraph_spark.operators.scan_stats import scan1
 

@@ -591,31 +591,41 @@ def triad_census(graph: LinkGraph) -> DataFrame:
         .join(pair_flags("y", "z", "yz"), ["y", "z"], "left")
         .na.fill(False)
     )
-    cls = flagged.select(_triad_class().alias("cls"))
-    counted = {
-        int(r["cls"]): int(r["cnt"])
-        for r in cls.groupBy("cls").agg(F.count("*").alias("cnt")).collect()
-    }
+    # ONE pass over the (expensive) flagged triples: per-class counts
+    # AND the asym/mutual pair incidences — r4's plan ran the whole
+    # triple build twice (separate groupBy + agg actions on the same
+    # unpersisted lineage)
+    per_cls = (
+        flagged.select(
+            _triad_class().alias("cls"),
+            (
+                (F.col("xy_f") != F.col("xy_b")).cast("long")
+                + (F.col("xz_f") != F.col("xz_b")).cast("long")
+                + (F.col("yz_f") != F.col("yz_b")).cast("long")
+            ).alias("asym_terms"),
+            (
+                (F.col("xy_f") & F.col("xy_b")).cast("long")
+                + (F.col("xz_f") & F.col("xz_b")).cast("long")
+                + (F.col("yz_f") & F.col("yz_b")).cast("long")
+            ).alias("mut_terms"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("asym_terms").alias("asym_inc"),
+            F.sum("mut_terms").alias("mut_inc"),
+        )
+        .collect()
+    )
+    counted = {int(r["cls"]): int(r["cnt"]) for r in per_cls}
+    asym_inc = sum(int(r["asym_inc"] or 0) for r in per_cls)
+    mut_inc = sum(int(r["mut_inc"] or 0) for r in per_cls)
     # analytic classes from the pair census
     prow = pairs.agg(
         F.sum(F.when(F.col("f") & F.col("bwd"), 1).otherwise(0)).alias("M"),
         F.sum(F.when(F.col("f") != F.col("bwd"), 1).otherwise(0)).alias("A"),
     ).first()
     M, A = int(prow["M"] or 0), int(prow["A"] or 0)
-    # asym/mutual pair incidences inside enumerated triples
-    inc = flagged.agg(
-        F.sum(
-            (F.col("xy_f") != F.col("xy_b")).cast("long")
-            + (F.col("xz_f") != F.col("xz_b")).cast("long")
-            + (F.col("yz_f") != F.col("yz_b")).cast("long")
-        ).alias("asym_inc"),
-        F.sum(
-            (F.col("xy_f") & F.col("xy_b")).cast("long")
-            + (F.col("xz_f") & F.col("xz_b")).cast("long")
-            + (F.col("yz_f") & F.col("yz_b")).cast("long")
-        ).alias("mut_inc"),
-    ).first()
-    asym_inc, mut_inc = int(inc["asym_inc"] or 0), int(inc["mut_inc"] or 0)
     counts = [0] * 16
     for k, v in counted.items():
         counts[k] = v
