@@ -712,27 +712,35 @@ def _q_louvain(spark, sf_dir):
 
 
 def _q_ase(spark, sf_dir):
-    # Verifiable certificate for the iterative eigensolve: per-vertex
-    # residual |(A·x0)_i − λ0·x0_i| ≤ 1e-8·|λ0|·max|x0| for the
-    # dominant eigenpair (oracle: every dense-graph vertex flags true).
-    # The certificate covers the DOMINANT pair only: the sf0.01 dense
+    # Verifiable certificate for the iterative eigensolve, BOTH pairs
+    # (oracle: every dense-graph vertex flags true). The sf0.01 dense
     # graph's 2nd eigenvalue (-22.1) sits at the edge of a
-    # near-degenerate spectral bulk (|λ3/λ2| = 0.986) where subspace
-    # iteration — and any bounded-matvec Krylov method — cannot reach
-    # tight residuals; pytest covers multi-pair accuracy on
-    # well-separated fixtures vs numpy eigh.
+    # near-degenerate spectral bulk (|λ3/λ2| = 0.986) where plain
+    # subspace iteration stalls at -16.7; the snapshot-Krylov
+    # Rayleigh–Ritz (embedding.py, r5) recovers it to ~5e-3 absolute
+    # residual, certified here per vertex at 5e-3·|λ1|·max|x1| (10×
+    # measured headroom; the solve is deterministic — hash-coin init,
+    # fixed iteration count). The dominant pair certifies at the tight
+    # 1e-8 scale as before.
     from xdata_igraph_spark.operators.embedding import (
         adjacency_spectral_embedding,
         eigenpair_residuals,
     )
 
     g = _dense_graph(spark, sf_dir)
-    X, lam = adjacency_spectral_embedding(g, no=2, max_iter=100, tol=1e-10)
-    res = eigenpair_residuals(g, X, lam, pairs=[0])
-    scale = abs(lam[0]) or 1.0
-    xmax = X.agg(F.max(F.abs("x0"))).first()[0] or 1.0
+    X, lam = adjacency_spectral_embedding(
+        g, no=2, max_iter=60, tol=0.0, krylov_snapshots=8
+    )
+    res = eigenpair_residuals(g, X, lam)
+    mx = X.agg(F.max(F.abs("x0")), F.max(F.abs("x1"))).first()
+    s0 = (abs(lam[0]) or 1.0) * (mx[0] or 1.0)
+    s1 = (abs(lam[1]) or 1.0) * (mx[1] or 1.0)
     return res.select(
-        "id", (F.col("r_x0") <= F.lit(1e-8 * scale * xmax)).alias("resid_ok")
+        "id",
+        (
+            (F.col("r_x0") <= F.lit(1e-8 * s0))
+            & (F.col("r_x1") <= F.lit(5e-3 * s1))
+        ).alias("resid_ok"),
     )
 
 

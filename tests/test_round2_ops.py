@@ -1056,3 +1056,45 @@ def test_connectivity_famous_values(spark):
     d = LinkGraph.from_pairs(spark, [(0, 1), (2, 3)], directed=False, n=4)
     assert edge_connectivity(d) == 0
     assert vertex_connectivity(d) == 0
+
+
+def test_spectral_embedding_krylov_bulk_pair(spark):
+    """Snapshot-Krylov mode (r5): a 2nd eigenvalue at the edge of a
+    near-degenerate bulk — where plain subspace iteration stalls —
+    must still come out accurate. Fixture: ER-ish dense graph whose
+    spectrum has one separated eigenvalue plus a tight bulk."""
+    import numpy as np
+
+    from xdata_igraph_spark.operators.embedding import (
+        adjacency_spectral_embedding,
+        eigenpair_residuals,
+    )
+
+    rng = np.random.default_rng(99)
+    n = 120
+    arcs = [
+        (a, b)
+        for a in range(n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.3
+    ]
+    g = LinkGraph.from_pairs(spark, arcs, directed=False, n=n)
+    A = np.zeros((n, n))
+    for a, b in arcs:
+        A[a, b] = A[b, a] = 1.0
+    w = np.linalg.eigvalsh(A)
+    ref = w[np.argsort(-np.abs(w))[:2]]
+
+    X, lambdas = adjacency_spectral_embedding(
+        g, no=2, max_iter=50, tol=0.0, krylov_snapshots=8
+    )
+    assert np.allclose(
+        sorted(np.abs(lambdas), reverse=True),
+        sorted(np.abs(ref), reverse=True),
+        rtol=1e-3,
+    ), (lambdas, ref)
+    # a-posteriori certificate: small per-vertex residual on both pairs
+    res = eigenpair_residuals(g, X, lambdas)
+    row = res.agg(F.max("r_x0"), F.max("r_x1")).first()
+    assert row[0] <= 1e-6 * abs(lambdas[0])
+    assert row[1] <= 1e-2 * abs(lambdas[1])

@@ -48,6 +48,8 @@ def adjacency_spectral_embedding(
     scaled: bool = True,
     max_iter: int = 200,
     tol: float = 1e-9,
+    krylov_snapshots: int = 0,
+    krylov_guards: int = 2,
 ) -> tuple[DataFrame, list[float]]:
     """Undirected ASE → ((id, x0..x{no-1}), eigenvalues).
 
@@ -59,11 +61,30 @@ def adjacency_spectral_embedding(
     IGRAPH_ALL way first (use the SVD pair semantics at your own
     column interpretation — the reference's directed mode is the
     A·Aᵀ analogue of the same iteration).
+
+    ``krylov_snapshots``: when > 0, the last that-many iterate blocks
+    are retained and the final Rayleigh–Ritz runs over their combined
+    span (a block-Krylov subspace, Musco & Musco 2015) instead of the
+    final block alone. Plain subspace iteration converges a pair at
+    the edge of a near-degenerate spectral bulk like (gap ratio)^t —
+    effectively never (the sf0.01 dense fixture has |λ3/λ2| = 0.986
+    and the 2nd pair stalls at -16.7 vs the true -22.1); the Krylov
+    span recovers it to ~1e-3 absolute residual with the same number
+    of matvecs. Cost: K·no Gram columns in ONE extra aggregate pass
+    (K = snapshots), plus one matvec over the stacked block; 6-10
+    snapshots is plenty. While Krylov mode is on, the block also
+    iterates ``krylov_guards`` extra guard columns (the snapshots of a
+    bare k-block are too redundant — measured: guards take the bulk
+    pair's residual from 1.7e-2 to 1.2e-3 at the same matvec count);
+    only the top ``no`` pairs are returned. Off by default
+    (bit-compatible with r4).
     """
     if no < 1:
         raise ValueError("embedding dimension must be >= 1")
     spark = graph.spark
-    k = int(no)
+    # guard columns enrich the Krylov span; plain mode keeps the exact
+    # r4 block size
+    k = int(no) + (int(krylov_guards) if krylov_snapshots > 0 else 0)
 
     e = graph.edges if weighted else graph.edges.withColumn("weight", F.lit(1.0))
     # symmetric matvec in BOTH cases: undirected graphs store each edge
@@ -94,6 +115,7 @@ def adjacency_spectral_embedding(
     ]
     state = base.select("id", "_c", *init_cols).localCheckpointFlat(eager=True)
 
+    snaps: list[DataFrame] = []
     prev_evals: np.ndarray | None = None
     evals = np.zeros(k)
     rot_applied = None
@@ -163,12 +185,20 @@ def adjacency_spectral_embedding(
         state = new_state
         evals = new_evals
         rot_applied = rayleigh
+        if krylov_snapshots > 0:
+            snaps.append(new_state)
+            snaps = snaps[-int(krylov_snapshots):]
         if prev_evals is not None:
             denom = np.maximum(np.abs(new_evals), 1e-30)
             if float(np.max(np.abs(new_evals - prev_evals) / denom)) < tol:
                 break
         prev_evals = new_evals
     del rot_applied
+
+    if len(snaps) >= 2:
+        return _krylov_rayleigh_ritz(
+            spark, sym, snaps, k, int(no), scaled
+        )
 
     # ---- final Rayleigh–Ritz on A itself: B = Xᵀ·(A + diag(c))·X ----
     # The loop's G = YᵀY is a Ritz step w.r.t. A², which cannot split
@@ -261,3 +291,92 @@ def eigenpair_residuals(
             for x, j in zip(xs, pairs)
         ],
     )
+
+
+def _krylov_rayleigh_ritz(spark, sym, snaps, k, no, scaled):
+    """Rayleigh–Ritz over the span of the retained iterate blocks.
+
+    Z = [snap_1 | … | snap_K] (K·k columns). One matvec pass gives
+    AZ (+ diag(c)·Z), one aggregate gives both Gram matrices
+    M = ZᵀZ and B = Zᵀ(A+diag(c))Z; the driver filters M's
+    numerically-dependent directions (the snapshots overlap heavily —
+    that is fine, the span is what matters), solves the projected
+    symmetric eigenproblem, and emits the top-k pairs as literal
+    column combinations. See `adjacency_spectral_embedding`'s
+    ``krylov_snapshots`` docs."""
+    import math as _math
+
+    K = len(snaps)
+    cols = []
+    z = snaps[0].select(
+        "id", "_c", *[F.col(f"x{j}").alias(f"z_{j}") for j in range(k)]
+    )
+    cols.extend(f"z_{j}" for j in range(k))
+    for s_i, s in enumerate(snaps[1:], start=1):
+        z = z.join(
+            s.select(
+                "id",
+                *[
+                    F.col(f"x{j}").alias(f"z_{s_i * k + j}")
+                    for j in range(k)
+                ],
+            ),
+            "id",
+        )
+        cols.extend(f"z_{s_i * k + j}" for j in range(k))
+    z = z.localCheckpointFlat(eager=True)
+
+    msgs = (
+        z.select(F.col("id").alias("src"), *cols)
+        .join(sym, "src")
+        .groupBy("dst")
+        .agg(*[F.sum(F.col("weight") * F.col(c)).alias(f"a_{c}") for c in cols])
+    )
+    y = z.join(msgs, z.id == msgs.dst, "left").select(
+        "id",
+        *cols,
+        *[
+            (
+                F.coalesce(F.col(f"a_{c}"), F.lit(0.0)) + F.col("_c") * F.col(c)
+            ).alias(f"a_{c}")
+            for c in cols
+        ],
+    )
+    aggs = []
+    n_z = len(cols)
+    for i in range(n_z):
+        for j in range(i, n_z):
+            aggs.append(
+                F.sum(F.col(cols[i]) * F.col(cols[j])).alias(f"m_{i}_{j}")
+            )
+            aggs.append(
+                F.sum(F.col(cols[i]) * F.col(f"a_{cols[j]}")).alias(f"b_{i}_{j}")
+            )
+    row = y.agg(*aggs).first()
+    M = np.zeros((n_z, n_z))
+    B = np.zeros((n_z, n_z))
+    for i in range(n_z):
+        for j in range(i, n_z):
+            M[i, j] = M[j, i] = float(row[f"m_{i}_{j}"] or 0.0)
+            B[i, j] = B[j, i] = float(row[f"b_{i}_{j}"] or 0.0)
+
+    w_m, V_m = np.linalg.eigh(M)
+    keep = w_m > 1e-10 * max(float(w_m.max()), 1e-300)
+    T = V_m[:, keep] / np.sqrt(w_m[keep])
+    Bs = T.T @ B @ T
+    Bs = (Bs + Bs.T) / 2
+    w, V = np.linalg.eigh(Bs)
+    order = np.argsort(-np.abs(w))[:no]
+    lambdas = [float(w[j]) for j in order]
+    C = T @ V[:, order]  # n_z × k literal coefficients
+
+    out_cols = []
+    for pos in range(no):
+        col = sum(
+            (F.col(cols[i]) * float(C[i, pos]) for i in range(1, n_z)),
+            F.col(cols[0]) * float(C[0, pos]),
+        )
+        if scaled:
+            col = col * float(_math.sqrt(abs(lambdas[pos])))
+        out_cols.append(col.alias(f"x{pos}"))
+    return z.select("id", *out_cols), lambdas
