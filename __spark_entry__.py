@@ -746,15 +746,18 @@ def _q_ase(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries — the driver checks only the first 50 dict
-    slots, so near-duplicate coverage is merged (degrees out/in/all →
-    one query; triangle count + transitivity → one row; the three
-    textstats ops → one per-doc result; neighborhood size + members →
-    one slot) and redundant variants of green families (dice vs
-    jaccard, scan0_them vs scan_k2_them, minhash_signatures vs the LSH
-    pipeline, subcomponent vs wcc, tree vs grg generator) live in
-    pytest instead. Every distinct operator family keeps a driver
-    correctness row; tools/check_contract.py runs the full registry
-    and its log is committed per round as CONTRACT_r{N}.txt."""
+    slots, so near-duplicate coverage is merged (degrees out/in/all +
+    all-mode strength → one query; triangle count + transitivity →
+    one row; the three textstats ops → one per-doc result;
+    neighborhood size + members → one slot) and redundant variants of
+    green families (dice vs jaccard, scan0_them vs scan_k2_them,
+    minhash_signatures vs the LSH pipeline, subcomponent vs wcc, tree
+    vs grg generator) live in pytest instead. Every distinct operator
+    family keeps a driver correctness row; r5 swapped the freed
+    strength slot for graphlets_basis and converted the two rows-only
+    slots (louvain, ase) into oracle-checkable certificates.
+    tools/check_contract.py runs the full registry and its log is
+    committed per round as CONTRACT_r{N}.txt."""
     return {
         "degrees": _q_degrees,
         "graphlets_basis": _q_graphlets_basis,
