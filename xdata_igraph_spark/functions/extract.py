@@ -12,11 +12,11 @@ url, ``extract_text(html)`` must be **byte-identical** to the corpus's
    ``<a href="([^"]*)">``), keeping only http(s) URLs, with the
    ``#fragment`` stripped, no other normalization.
 
-These are pandas UDFs (Arrow batch transfer, regex over whole series —
-no per-row Python function calls in the hot loop beyond the vectorized
-str ops), per the input_hint's "no per-row Python" mandate. At 10^12
-documents this is the only Python in the pipeline; everything
-downstream is JVM-side DataFrame ops.
+``extract_links`` (the ingest hot path) is a pure JVM column
+expression — no Python boundary at all. ``extract_text`` remains an
+Arrow pandas UDF (vectorized series ops, no per-row Python beyond the
+regex engine), per the input_hint's "no per-row Python" mandate; it is
+the one demonstration Python path and sits on no benchmarked query.
 """
 
 from __future__ import annotations
@@ -43,6 +43,8 @@ def extract_text(html: pd.Series) -> pd.Series:
 
 
 def _links_of(b: bytes | None) -> list[str] | None:
+    """Python reference implementation of spec step 3 (kept as the
+    test oracle for the JVM expression below)."""
     if b is None:
         return None
     out = []
@@ -52,7 +54,23 @@ def _links_of(b: bytes | None) -> list[str] | None:
     return out
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def extract_links(html: pd.Series) -> pd.Series:
-    """binary html → href values in document order (spec step 3)."""
-    return html.apply(_links_of)
+def extract_links(html) -> "F.Column":
+    """binary html → href values in document order (spec step 3).
+
+    Pure JVM column expression (regexp_extract_all + array
+    higher-order functions) — r6 replaced the per-row pandas UDF: link
+    extraction is on the ingest hot path for every page, and the
+    builtin keeps the whole extract→explode→join pipeline inside the
+    JVM with column pruning intact (optimization guide §4.1: prefer
+    builtins; an opaque UDF over ``html`` also blocked pushdown).
+    Semantics are unchanged on valid UTF-8 input and pinned by
+    tests/test_corpus_pipeline.py against ``_links_of``: same regex,
+    document order, http(s)-only, ``#fragment`` stripped
+    (``substring_index(u, '#', 1)`` == ``u.split('#', 1)[0]``).
+    """
+    col = F.col(html) if isinstance(html, str) else html
+    hrefs = F.regexp_extract_all(
+        F.decode(col, "UTF-8"), F.lit(r'<a href="([^"]*)">'), 1
+    )
+    kept = F.filter(hrefs, lambda u: u.rlike("^https?://"))
+    return F.transform(kept, lambda u: F.substring_index(u, "#", 1))

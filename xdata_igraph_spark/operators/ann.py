@@ -24,21 +24,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cos_expr(a, b):
-    """Cosine similarity of two array<float/double> columns, computed
-    in double precision JVM-side."""
-    dot = F.aggregate(
+def _dot_expr(a, b):
+    """Left-fold dot product of two array<float/double> columns in
+    double precision (sequential fold — the summation-order contract
+    every caller and the DuckDB oracle share)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
+
+
+def _norm_expr(a):
+    """Euclidean norm of an array column, same left-fold order."""
+    return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
-    return dot / (na * nb)
+
+
+def _cos_expr(a, b):
+    """Cosine similarity of two array<float/double> columns, computed
+    in double precision JVM-side."""
+    return _dot_expr(a, b) / (_norm_expr(a) * _norm_expr(b))
 
 
 def cosine_topk(
@@ -53,15 +60,23 @@ def cosine_topk(
     ``probe``: optional subset of query rows (same schema); default all.
     Ordering ties broken by ascending neighbor id (deterministic).
     """
+    # norms folded once per row on each side, not per pair (see
+    # srp_topk; dot/(na*nb) over identical operands — bit-identical)
     base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        _norm_expr(F.col(vec_col)).alias("nn"),
     )
     q = (probe or embeddings).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm_expr(F.col(vec_col)).alias("qn"),
     )
     pairs = q.crossJoin(base).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.select(
-        "query_id", "neighbor_id", _cos_expr(F.col("qv"), F.col("nv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        (_dot_expr(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -193,12 +208,30 @@ def srp_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = embeddings.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    # per-vector norms once (n rows), not per candidate pair (r6: the
+    # rerank previously re-folded BOTH norms for every pair — with ~n²/7
+    # candidates on clustered data that tripled the interpreted
+    # higher-order-function work; cosine = dot/(na*nb) over identical
+    # operands, so values are bit-identical)
+    sides = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm_expr(F.col(vec_col)).alias("nrm"),
+    )
+    qv = sides.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    nv = sides.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
+    )
     scored = (
         cand.join(qv, "query_id")
         .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", _cos_expr(F.col("qv"), F.col("nv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot_expr(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -96,36 +96,37 @@ def wcc(
         labels = graph.vertices().withColumn("label", F.col("id"))
         start = 0
 
-    for it in range(start, max_iter):
-        msgs = (
-            labels.select(F.col("id").alias("src"), "label")
-            .join(sym, "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = labels.join(msgs, labels.id == msgs.dst, "left").select(
-            "id",
-            F.col("label").alias("_old"),
-            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                "label"
-            ),
-        )
-        new_labels = runner.materialize(new_labels, it)
-        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
-        runner.finish_iteration(it, float(changed))
-        labels = new_labels.drop("_old")
-        if changed == 0:
-            labels = runner.finalize(labels, it, 0.0)
-            break
-    else:
-        import warnings
+    with runner.loop_conf():
+        for it in range(start, max_iter):
+            msgs = (
+                labels.select(F.col("id").alias("src"), "label")
+                .join(sym, "src")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = labels.join(msgs, labels.id == msgs.dst, "left").select(
+                "id",
+                F.col("label").alias("_old"),
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            new_labels = runner.materialize(new_labels, it)
+            changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+            runner.finish_iteration(it, float(changed))
+            labels = new_labels.drop("_old")
+            if changed == 0:
+                labels = runner.finalize(labels, it, 0.0)
+                break
+        else:
+            import warnings
 
-        warnings.warn(
-            f"wcc did not reach fixpoint within max_iter={max_iter} "
-            f"({changed} labels still changing); components may be split — "
-            "raise max_iter",
-            RuntimeWarning,
-        )
+            warnings.warn(
+                f"wcc did not reach fixpoint within max_iter={max_iter} "
+                f"({changed} labels still changing); components may be split — "
+                "raise max_iter",
+                RuntimeWarning,
+            )
 
     return _densify_by_min_id(labels)
 
@@ -149,26 +150,27 @@ def _min_propagate(
     max_iter: int = 200,
 ) -> DataFrame:
     """Propagate min ``label`` along directed edges src→dst to fixpoint."""
-    for it in range(max_iter):
-        msgs = (
-            labels.select(F.col("id").alias("src"), "label")
-            .join(edges, "src")
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = labels.join(msgs, labels.id == msgs.dst, "left").select(
-            "id",
-            F.col("label").alias("_old"),
-            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                "label"
-            ),
-        )
-        new_labels = runner.materialize(new_labels, it)
-        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
-        runner.finish_iteration(it, float(changed), extra={"phase": phase})
-        labels = new_labels.drop("_old")
-        if changed == 0:
-            break
+    with runner.loop_conf():
+        for it in range(max_iter):
+            msgs = (
+                labels.select(F.col("id").alias("src"), "label")
+                .join(edges, "src")
+                .groupBy("dst")
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_labels = labels.join(msgs, labels.id == msgs.dst, "left").select(
+                "id",
+                F.col("label").alias("_old"),
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            new_labels = runner.materialize(new_labels, it)
+            changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+            runner.finish_iteration(it, float(changed), extra={"phase": phase})
+            labels = new_labels.drop("_old")
+            if changed == 0:
+                break
     return labels
 
 

@@ -26,16 +26,36 @@ def _tokens(col):
     return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != "")
 
 
+def _let(bound, body):
+    """Expression-level let-binding: evaluate ``bound`` ONCE and feed it
+    to ``body`` as a lambda variable.
+
+    Catalyst has no let operator: an aliased column referenced k times
+    collapses back into k copies of the defining expression
+    (CollapseProject / predicate pushdown inline aliases), so a
+    non-trivial subexpression used several times is recomputed per
+    reference (r6: the minhash signature referenced the shingle array 9
+    times — measured 2.5x the whole-query runtime). A single-element
+    array + ``transform`` + ``[0]`` pins one evaluation: lambda
+    variables are bound values at runtime."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def _shingles(col, n: int):
-    """Word n-gram shingles of a text column (empty array if < n tokens)."""
-    toks = _tokens(col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Word n-gram shingles of a text column (empty array if < n tokens).
+
+    The token array is let-bound (evaluated once); the naive expression
+    references it three times and re-tokenizes per reference."""
+    return _let(
+        _tokens(col),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def _hash32(col):
@@ -65,16 +85,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) — MinHash signature over word
     n-gram shingles; hash function i = md5("<i>|" + shingle) → first
-    8 hex digits as uint32, min over shingles."""
-    sh = docs.select("doc_id", F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh"))
-    aggs = [
-        F.min(_hash32(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    8 hex digits as uint32, min over shingles.
+
+    Plan (r6): per-document ``array_min`` over the shingle array —
+    zero shuffles and no shingle-row explosion (the r5 plan exploded
+    every shingle and shuffled a partial-aggregate per doc; guide §2.4
+    "remove shuffles outright"). Value-identical: same md5 per
+    (i, shingle), same min; docs whose shingle array is empty are
+    dropped, exactly as the old explode+groupBy produced no group for
+    them."""
+    init = F.array(*[F.lit(None).cast("long") for _ in range(num_hashes)])
+
+    def _merge(acc, s):
+        # all num_hashes hashes of one shingle, folded elementwise into
+        # the running minima (least(null, h) = h seeds the fold)
+        hs = F.array(
+            *[_hash32(F.concat(F.lit(f"{i}|"), s)) for i in range(num_hashes)]
+        )
+        return F.zip_with(acc, hs, lambda a, b: F.least(a, b))
+
+    # one pass, every subexpression evaluated once: tokens → shingles →
+    # fold of per-shingle hash minima; documents with no shingles yield
+    # an empty outer array, so the explode drops them exactly like the
+    # old explode+groupBy plan (no group for an empty doc). A filter
+    # column would be re-inlined by predicate pushdown and recompute
+    # the whole fold per row — hence the generator-based drop.
+    sig_or_empty = _let(
+        _shingles(F.col(text_col), shingle_n),
+        lambda sh: F.when(
+            F.size(sh) > 0, F.array(F.aggregate(sh, init, _merge))
+        ).otherwise(F.array().cast("array<array<long>>")),
     )
+    return docs.select("doc_id", F.explode(sig_or_empty).alias("sig"))
 
 
 def minhash_lsh_candidates(

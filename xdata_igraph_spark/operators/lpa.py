@@ -114,90 +114,91 @@ def label_propagation(
         labels = labels.withColumn("fixed", F.lit(False))
 
     zero_streak = 0
-    for sweep in range(max_sweeps):
-        # neighbor label weight histogram per updating vertex
-        hist = (
-            labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label"))
-            .filter(F.col("nbr_label").isNotNull())
-            .join(adj, "src")
-            .groupBy("dst", "nbr_label")
-            .agg(F.sum("weight").alias("w"))
-        )
-        # dominant label per vertex: max weight, ties → smallest label
-        dominant = hist.groupBy("dst").agg(
-            F.max_by(
-                F.col("nbr_label"), F.struct(F.col("w"), -F.col("nbr_label"))
-            ).alias("dom_label"),
-            F.max("w").alias("dom_w"),
-        )
-        # current label's own weight (to update only on strict improvement
-        # and to evaluate the reference's dominance convergence criterion)
-        cur_w = (
-            labels.select(F.col("id").alias("dst"), F.col("label").alias("cur"))
-            .join(hist, ["dst"])
-            .filter(F.col("nbr_label") == F.col("cur"))
-            .select("dst", F.col("w").alias("cur_w"))
-        )
-        upd = dominant.join(cur_w, "dst", "left").select(
-            "dst",
-            "dom_label",
-            (F.col("dom_w") > F.coalesce("cur_w", F.lit(0.0))).alias("improves"),
-        )
-        eligible = (
-            F.lit(True)
-            if damping == "none"
-            else (
-                # half-split redrawn every other sweep; NULL-label
-                # vertices always adopt
-                (F.pmod(F.xxhash64(F.col("id"), F.lit(sweep // 2)), F.lit(2))
-                 == F.lit(sweep % 2))
-                | F.col("label").isNull()
+    with runner.loop_conf():
+        for sweep in range(max_sweeps):
+            # neighbor label weight histogram per updating vertex
+            hist = (
+                labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label"))
+                .filter(F.col("nbr_label").isNotNull())
+                .join(adj, "src")
+                .groupBy("dst", "nbr_label")
+                .agg(F.sum("weight").alias("w"))
             )
-        )
-        new_labels = labels.join(upd, labels.id == upd.dst, "left").select(
-            "id",
-            "fixed",
-            F.col("label").alias("_old"),
-            F.when(
-                (~F.col("fixed"))
-                & F.col("dom_label").isNotNull()
-                & (F.col("improves") | F.col("label").isNull())
-                & eligible,
-                F.col("dom_label"),
+            # dominant label per vertex: max weight, ties → smallest label
+            dominant = hist.groupBy("dst").agg(
+                F.max_by(
+                    F.col("nbr_label"), F.struct(F.col("w"), -F.col("nbr_label"))
+                ).alias("dom_label"),
+                F.max("w").alias("dom_w"),
             )
-            .otherwise(F.col("label"))
-            .alias("label"),
-        )
-        new_labels = runner.materialize(new_labels, sweep)
-        changed = new_labels.filter(
-            ~(
-                (F.col("label") == F.col("_old"))
-                | (F.col("label").isNull() & F.col("_old").isNull())
+            # current label's own weight (to update only on strict improvement
+            # and to evaluate the reference's dominance convergence criterion)
+            cur_w = (
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("cur"))
+                .join(hist, ["dst"])
+                .filter(F.col("nbr_label") == F.col("cur"))
+                .select("dst", F.col("w").alias("cur_w"))
             )
-        ).count()
-        runner.finish_iteration(sweep, float(changed))
-        labels = new_labels.drop("_old")
-        if damping == "none":
-            if changed == 0:
-                break
+            upd = dominant.join(cur_w, "dst", "left").select(
+                "dst",
+                "dom_label",
+                (F.col("dom_w") > F.coalesce("cur_w", F.lit(0.0))).alias("improves"),
+            )
+            eligible = (
+                F.lit(True)
+                if damping == "none"
+                else (
+                    # half-split redrawn every other sweep; NULL-label
+                    # vertices always adopt
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(sweep // 2)), F.lit(2))
+                     == F.lit(sweep % 2))
+                    | F.col("label").isNull()
+                )
+            )
+            new_labels = labels.join(upd, labels.id == upd.dst, "left").select(
+                "id",
+                "fixed",
+                F.col("label").alias("_old"),
+                F.when(
+                    (~F.col("fixed"))
+                    & F.col("dom_label").isNotNull()
+                    & (F.col("improves") | F.col("label").isNull())
+                    & eligible,
+                    F.col("dom_label"),
+                )
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
+            new_labels = runner.materialize(new_labels, sweep)
+            changed = new_labels.filter(
+                ~(
+                    (F.col("label") == F.col("_old"))
+                    | (F.col("label").isNull() & F.col("_old").isNull())
+                )
+            ).count()
+            runner.finish_iteration(sweep, float(changed))
+            labels = new_labels.drop("_old")
+            if damping == "none":
+                if changed == 0:
+                    break
+            else:
+                # fixpoint only after a full SAME-SEED parity cycle with no
+                # move (sweeps 2k/2k+1 share a hash draw; a quiet pair that
+                # straddles two draws leaves ~25% of vertices untested)
+                zero_streak = zero_streak + 1 if changed == 0 else 0
+                if zero_streak >= 2 and sweep % 2 == 1:
+                    break
         else:
-            # fixpoint only after a full SAME-SEED parity cycle with no
-            # move (sweeps 2k/2k+1 share a hash draw; a quiet pair that
-            # straddles two draws leaves ~25% of vertices untested)
-            zero_streak = zero_streak + 1 if changed == 0 else 0
-            if zero_streak >= 2 and sweep % 2 == 1:
-                break
-    else:
-        # synchronous LPA can 2-cycle on bipartite structures; hitting
-        # the sweep cap is a documented stop, but say so (ADVICE r1)
-        import warnings
+            # synchronous LPA can 2-cycle on bipartite structures; hitting
+            # the sweep cap is a documented stop, but say so (ADVICE r1)
+            import warnings
 
-        warnings.warn(
-            f"label_propagation stopped at max_sweeps={max_sweeps} with "
-            f"{changed} labels still changing (synchronous LPA may "
-            "oscillate); result is the last sweep's labeling",
-            RuntimeWarning,
-        )
+            warnings.warn(
+                f"label_propagation stopped at max_sweeps={max_sweeps} with "
+                f"{changed} labels still changing (synchronous LPA may "
+                "oscillate); result is the last sweep's labeling",
+                RuntimeWarning,
+            )
 
     return renumber_first_appearance(labels.select("id", "label"))
 

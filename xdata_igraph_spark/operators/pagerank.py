@@ -155,7 +155,9 @@ def pagerank(
         )
     else:
         base = base.withColumn("reset", F.lit(1.0 / n))
-    base = base.repartition("id").localCheckpointFlat(eager=True)
+    # lazy: the pre-loop scalar aggregate below is the first action and
+    # materializes the checkpoint as a side effect — one fewer prep job
+    base = base.repartition("id").localCheckpointFlat(eager=False)
 
     runner = runner or SuperstepRunner(
         spark,
@@ -177,71 +179,73 @@ def pagerank(
         start_iter = 0
 
     d = float(damping)
-    # scalars for the upcoming superstep: total mass S, dangling mass S_d
-    agg0 = state.agg(
-        F.sum("rank").alias("S"),
-        F.sum(F.when(~F.col("non_dangling"), F.col("rank")).otherwise(0.0)).alias("Sd"),
-    ).first()
-    S, Sd = float(agg0["S"]), float(agg0["Sd"])
-
-    for it in range(start_iter, max_iter):
-        sumfrom = (1.0 - d) * (S - Sd) + Sd
-
-        msgs = state.select(F.col("id").alias("src"), "rank").join(contrib, "src")
-        if salt_buckets > 1:
-            partial = (
-                msgs.withColumn(
-                    "_salt", F.pmod(F.xxhash64("src", F.lit(it)), F.lit(salt_buckets))
-                )
-                .groupBy("dst", "_salt")
-                .agg(F.sum(F.col("rank") * F.col("p")).alias("acc"))
-            )
-            acc = partial.groupBy("dst").agg(F.sum("acc").alias("acc"))
-        else:
-            acc = msgs.groupBy("dst").agg(F.sum(F.col("rank") * F.col("p")).alias("acc"))
-
-        new_state = (
-            state.join(acc, state.id == acc.dst, "left")
-            .select(
-                "id",
-                "non_dangling",
-                "reset",
-                F.col("rank").alias("_old"),
-                (
-                    F.lit(d) * F.coalesce(F.col("acc"), F.lit(0.0))
-                    + F.lit(sumfrom) * F.col("reset")
-                ).alias("rank"),
-            )
-        )
-        # ONE action: convergence delta + next superstep's scalars
-        new_state = runner.materialize(
-            new_state.select("id", "non_dangling", "reset", "rank", "_old"), it
-        )
-        delta_expr = (
-            F.max(F.abs(F.col("rank") - F.col("_old")))
-            if norm == "max"
-            else F.sum(F.abs(F.col("rank") - F.col("_old")))
-        )
-        stats = new_state.agg(
-            delta_expr.alias("delta"),
+    with runner.loop_conf():
+        # scalars for the upcoming superstep: total mass S, dangling
+        # mass S_d (this first action also materializes `base`)
+        agg0 = state.agg(
             F.sum("rank").alias("S"),
-            F.sum(
-                F.when(~F.col("non_dangling"), F.col("rank")).otherwise(0.0)
-            ).alias("Sd"),
+            F.sum(F.when(~F.col("non_dangling"), F.col("rank")).otherwise(0.0)).alias("Sd"),
         ).first()
-        delta, S, Sd = float(stats["delta"]), float(stats["S"]), float(stats["Sd"])
-        runner.finish_iteration(it, delta, extra={"mass": S, "dangling_mass": Sd})
-        state = new_state.drop("_old")
-        if delta < tol:
-            state = runner.finalize(state, it, delta)
-            break
-    else:
-        if max_iter > start_iter and delta >= tol > 0:
-            warnings.warn(
-                f"pagerank did not reach tol={tol} within max_iter={max_iter} "
-                f"(last delta={delta:.3e}) — result is the max_iter-th iterate "
-                "(igraph errors on non-convergence)",
-                RuntimeWarning,
+        S, Sd = float(agg0["S"]), float(agg0["Sd"])
+
+        for it in range(start_iter, max_iter):
+            sumfrom = (1.0 - d) * (S - Sd) + Sd
+
+            msgs = state.select(F.col("id").alias("src"), "rank").join(contrib, "src")
+            if salt_buckets > 1:
+                partial = (
+                    msgs.withColumn(
+                        "_salt", F.pmod(F.xxhash64("src", F.lit(it)), F.lit(salt_buckets))
+                    )
+                    .groupBy("dst", "_salt")
+                    .agg(F.sum(F.col("rank") * F.col("p")).alias("acc"))
+                )
+                acc = partial.groupBy("dst").agg(F.sum("acc").alias("acc"))
+            else:
+                acc = msgs.groupBy("dst").agg(F.sum(F.col("rank") * F.col("p")).alias("acc"))
+
+            new_state = (
+                state.join(acc, state.id == acc.dst, "left")
+                .select(
+                    "id",
+                    "non_dangling",
+                    "reset",
+                    F.col("rank").alias("_old"),
+                    (
+                        F.lit(d) * F.coalesce(F.col("acc"), F.lit(0.0))
+                        + F.lit(sumfrom) * F.col("reset")
+                    ).alias("rank"),
+                )
             )
+            # ONE action: convergence delta + next superstep's scalars
+            new_state = runner.materialize(
+                new_state.select("id", "non_dangling", "reset", "rank", "_old"), it
+            )
+            delta_expr = (
+                F.max(F.abs(F.col("rank") - F.col("_old")))
+                if norm == "max"
+                else F.sum(F.abs(F.col("rank") - F.col("_old")))
+            )
+            stats = new_state.agg(
+                delta_expr.alias("delta"),
+                F.sum("rank").alias("S"),
+                F.sum(
+                    F.when(~F.col("non_dangling"), F.col("rank")).otherwise(0.0)
+                ).alias("Sd"),
+            ).first()
+            delta, S, Sd = float(stats["delta"]), float(stats["S"]), float(stats["Sd"])
+            runner.finish_iteration(it, delta, extra={"mass": S, "dangling_mass": Sd})
+            state = new_state.drop("_old")
+            if delta < tol:
+                state = runner.finalize(state, it, delta)
+                break
+        else:
+            if max_iter > start_iter and delta >= tol > 0:
+                warnings.warn(
+                    f"pagerank did not reach tol={tol} within max_iter={max_iter} "
+                    f"(last delta={delta:.3e}) — result is the max_iter-th iterate "
+                    "(igraph errors on non-convergence)",
+                    RuntimeWarning,
+                )
 
     return state.select("id", "rank")

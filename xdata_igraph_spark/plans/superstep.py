@@ -39,6 +39,7 @@ within a run.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -159,6 +160,41 @@ class SuperstepRunner:
         return state, iteration + 1
 
     # -------------- per-superstep protocol --------------
+
+    @contextlib.contextmanager
+    def loop_conf(self):
+        """Scope superstep-loop execution settings around an iterate-
+        to-fixpoint loop.
+
+        Inside the loop AQE is disabled (restored on exit): a
+        superstep's plan shape is fixed and its partitioning explicit
+        (bucketed/hash-partitioned edge side, ``shuffle_partitions``-
+        sized message shuffle, salting for hub skew), so AQE's per-
+        shuffle stage materialization + driver re-planning buys nothing
+        and costs several driver round trips per superstep — measured
+        ~6 extra Spark jobs and ~2x the steady-state superstep wall
+        time on the 200k-vertex corpus PageRank. One-shot queries
+        outside loops keep AQE (skew/coalescing there is data-
+        dependent). Scale note: this is not a local-mode tune — the
+        savings are per-superstep driver latency, which a 100-superstep
+        cluster run pays 100x; partition sizing inside loops comes from
+        ``spark.sql.shuffle.partitions``, which remains the cluster-
+        side knob. Opt out with SPARK_GRAFT_LOOP_AQE=on.
+        """
+        conf = self.spark.conf
+        disable = os.environ.get("SPARK_GRAFT_LOOP_AQE", "off") != "on"
+        prev = None
+        if disable:
+            try:
+                prev = conf.get("spark.sql.adaptive.enabled")
+            except Exception:
+                prev = "true"
+            conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            yield
+        finally:
+            if disable and prev is not None:
+                conf.set("spark.sql.adaptive.enabled", prev)
 
     def materialize(
         self, state: DataFrame, iteration: int, force_durable: bool = False

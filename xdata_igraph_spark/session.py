@@ -67,7 +67,16 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         # superstep loops replace the ranks/labels DataFrame every
         # iteration; reliable local checkpoints truncate lineage.
-        .config("spark.checkpoint.compress", "true")
+        # Compression is Spark's stock default (off): the state is
+        # vertex-size (orders of magnitude below the edge table), and
+        # compressing every superstep's checkpoint blocks costs
+        # measurable CPU per iteration (r6: ~0.2-0.3s/superstep on the
+        # 200k-vertex corpus loop) for memory the block manager does
+        # not need. Opt back in for memory-tight clusters via env.
+        .config(
+            "spark.checkpoint.compress",
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_COMPRESS", "false"),
+        )
         # iterative self-join plans make Catalyst's constraint
         # propagation both slow (exponential constraint sets) and
         # fragile (Union.rewriteConstraints NoSuchElementException on
