@@ -24,16 +24,21 @@ def norm(v):
     # Type-faithful: the driver's value hash is representation-
     # sensitive, so an INT on one side and a FLOAT on the other must
     # NOT compare equal here (r4 lesson: all_geodesics' BIGINT-vs-
-    # DOUBLE dist skew was masked by an int==float norm). Floats are
-    # tagged so Python's 3 == 3.0 can't hide a type skew.
+    # DOUBLE dist skew was masked by an int==float norm). EVERY scalar
+    # is tagged with its type so (a) 3 == 3.0 / True == 1 can't hide a
+    # type skew and (b) the multiset sort is totally ordered even with
+    # NULLs mixed into a column (r6: transitivity_barrat's NULL rows
+    # crashed the sort at sf0.001 — None vs tagged-float tuples).
     if v is None:
-        return None
+        return ("_", )
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return ("f", "NaN")
+            return ("n", "NaN")
         return ("f", round(v, 12))
     if isinstance(v, (list, tuple)):
-        return tuple(norm(x) for x in v)
+        return ("a",) + tuple(norm(x) for x in v)
     try:
         import decimal
 
@@ -41,7 +46,9 @@ def norm(v):
             return ("f", round(float(v), 12))
     except ImportError:
         pass
-    return v
+    if isinstance(v, int):
+        return ("i", v)
+    return ("s", str(v))
 
 
 def rows_to_multiset(cols, rows):

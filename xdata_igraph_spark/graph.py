@@ -109,9 +109,11 @@ class LinkGraph:
             return self._vertices
         if self._n is not None:
             return self.spark.range(self._n).withColumnRenamed("id", "id")
+        # explode, not union-of-two-selects: ONE scan of the edge
+        # lineage instead of two (for derived edge tables the lineage
+        # is a whole pipeline, and the union re-ran it per branch)
         return (
-            self.edges.select(F.col("src").alias("id"))
-            .union(self.edges.select(F.col("dst").alias("id")))
+            self.edges.select(F.explode(F.array("src", "dst")).alias("id"))
             .distinct()
         )
 

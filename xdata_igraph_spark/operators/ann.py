@@ -264,12 +264,18 @@ def cosine_topk_blocked(
     import numpy as np
 
     spark = embeddings.sparkSession
-    base_rows = embeddings.select(id_col, vec_col).collect()
-    if len(base_rows) > base_limit:
+    # guard BEFORE collecting: the count runs distributed, so an
+    # oversized base side raises without ever materializing GBs on the
+    # driver (the guard exists to PREVENT the driver OOM, not to
+    # describe it post-hoc)
+    base_side = embeddings.select(id_col, vec_col).localCheckpoint(eager=True)
+    n_base = base_side.count()
+    if n_base > base_limit:
         raise ValueError(
-            f"base side {len(base_rows)} exceeds base_limit={base_limit}; "
+            f"base side {n_base} exceeds base_limit={base_limit}; "
             "use srp_topk (bucketed) at this scale"
         )
+    base_rows = base_side.collect()
     ids = np.array([r[0] for r in base_rows], dtype=np.int64)
     mat = np.array([r[1] for r in base_rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)

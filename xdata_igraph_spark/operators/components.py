@@ -68,27 +68,42 @@ def wcc(
     (plans/layout.py) so supersteps join it exchange-free; worth it on
     large graphs / high-diameter label propagation."""
     spark = graph.spark
-    # localCheckpoint: materialize AND cut the ingest lineage so each
-    # superstep plans over a LogicalRDD, not the full upstream tree
-    sym = (
-        graph.symmetrized()
-        .select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    if bucket_edges:
-        from xdata_igraph_spark.plans.layout import bucketize
-
-        sym = bucketize(sym, ["src"], name="wcc_sym")
-    else:
-        sym = sym.repartition("src").localCheckpointFlat(eager=True)
-
     runner = runner or SuperstepRunner(
         spark,
         "wcc",
         checkpoint_dir=checkpoint_dir,
         fingerprint=f"wcc|n={graph._n}|directed={graph.directed}",
     )
+    # localCheckpoint: materialize AND cut the ingest lineage so each
+    # superstep plans over a LogicalRDD, not the full upstream tree.
+    # Stock (non-severed) checkpoint: it PRESERVES the src hash
+    # partitioning, so no superstep re-exchanges the edge table (the
+    # severed wrap drops partitioning and would cost an edge-size
+    # exchange EVERY superstep — r6 traced the 4x run-to-run wcc
+    # variance to exactly this, the global flat-every-3rd counter
+    # deciding the edge table's layout by luck of the draw).
+    # canonical-pair build: ONE scan + ONE distinct (the old
+    # symmetrize-then-distinct unioned two scans of the edge lineage
+    # and deduped the doubled row set); (hi, lo) ∪ (lo, hi) with
+    # hi != lo can contain no duplicates, so no second distinct
+    canon = (
+        graph.edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sym = canon.unionByName(
+        canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with runner.loop_conf():
+        if bucket_edges:
+            from xdata_igraph_spark.plans.layout import bucketize
+
+            sym = bucketize(sym, ["src"], name="wcc_sym")
+        else:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            sym = sym.repartition(n_parts, "src").localCheckpoint(eager=True)
     resumed = runner.resume()
     if resumed is not None:
         labels, start = resumed
@@ -128,7 +143,9 @@ def wcc(
                 RuntimeWarning,
             )
 
-    return _densify_by_min_id(labels)
+        # densify inside the same conf scope: its shapes are as fixed
+        # as the loop's (range-partition rank + two hash joins)
+        return _densify_by_min_id(labels)
 
 
 def component_sizes(membership: DataFrame) -> DataFrame:

@@ -34,7 +34,7 @@ iteration a guarded vectorized driver solve, flow.py-style.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xdata_igraph_spark.graph import LinkGraph
@@ -135,10 +135,13 @@ def graphlets_project(
     spark = graph.spark
     e = _simple_weighted_und(graph)
 
-    w_cid = Window.orderBy("members")
-    b = basis.select("members").withColumn(
-        "cid", F.row_number().over(w_cid) - F.lit(1)
-    ).localCheckpointFlat(eager=True)
+    # clique ids minted scale-safely (range-partition + prefix offsets,
+    # plans/ids.py) — no single-partition global window
+    from xdata_igraph_spark.plans.ids import zip_dense_ids
+
+    b = zip_dense_ids(
+        basis.select("members"), ["members"], out_col="cid"
+    ).select("members", F.col("cid").cast("int").alias("cid"))
 
     vc = b.select("cid", F.explode("members").alias("v"))
     # an edge belongs to clique c iff both endpoints do (the reference
@@ -149,12 +152,16 @@ def graphlets_project(
         .filter(F.col("cid") == F.col("cid2"))
         .select("a", "b", "weight", "cid")
     )
-    rows = inc.collect()
-    if len(rows) > max_incidence:
+    inc = inc.localCheckpointFlat(eager=True)
+    # guard BEFORE collecting: the count runs distributed; the collect
+    # only happens once the size is known to fit the driver
+    n_inc = inc.count()
+    if n_inc > max_incidence:
         raise ValueError(
-            f"graphlets_project: incidence size {len(rows)} exceeds "
+            f"graphlets_project: incidence size {n_inc} exceeds "
             f"max_incidence={max_incidence}"
         )
+    rows = inc.collect()
     sizes = {r["cid"]: len(r["members"]) for r in b.collect()}
     nc = len(sizes)
     if nc == 0:

@@ -76,22 +76,36 @@ def label_propagation(
     # messages flow from the neighbor TO the updating vertex; the
     # reference listens to IN-neighbors, so messages run along src→dst
     # for directed graphs and both ways for undirected.
-    adj = (
-        graph.adjacency("out" if graph.directed else "all")
-        .filter(F.col("src") != F.col("dst"))
-    )
+    adj_all = graph.adjacency("out" if graph.directed else "all")
     if not weighted:
-        adj = adj.withColumn("weight", F.lit(1.0))
-    # materialize AND cut lineage (see pagerank.py); bucketed layout
-    # makes the per-sweep join exchange-free on the edge side
-    if bucket_edges:
-        from xdata_igraph_spark.plans.layout import bucketize
+        adj_all = adj_all.withColumn("weight", F.lit(1.0))
+    # materialize AND cut lineage (see pagerank.py). Stock checkpoint:
+    # preserves the src hash partitioning, so the per-sweep join is
+    # exchange-free on the edge side without the bucketed-table write
+    # (the severed wrap would drop partitioning and re-exchange the
+    # edge table every sweep — see wcc). Loops are filtered AFTER the
+    # checkpoint so that, for endpoint-derived vertex sets, the vertex
+    # table can also come from the cached rows — ONE scan of the
+    # (possibly expensive) edge lineage per call instead of one per
+    # derivation.
+    with runner.loop_conf():
+        if bucket_edges:
+            from xdata_igraph_spark.plans.layout import bucketize
 
-        adj = bucketize(adj, ["src"], name="lpa_adj")
+            adj_all = bucketize(adj_all, ["src"], name="lpa_adj")
+        else:
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            adj_all = adj_all.repartition(n_parts, "src").localCheckpoint(eager=True)
+    adj = adj_all.filter(F.col("src") != F.col("dst"))
+    if graph._n is None and graph._vertices is None:
+        # endpoint-derived vertex set == distinct endpoints of the
+        # cached adjacency (loops included, so loop-only vertices keep
+        # their row exactly as graph.vertices() would give them)
+        verts = (
+            adj_all.select(F.explode(F.array("src", "dst")).alias("id")).distinct()
+        )
     else:
-        adj = adj.repartition("src").localCheckpointFlat(eager=True)
-
-    verts = graph.vertices()
+        verts = graph.vertices()
     if initial is not None:
         labels = verts.join(
             initial.select(
@@ -124,25 +138,32 @@ def label_propagation(
                 .groupBy("dst", "nbr_label")
                 .agg(F.sum("weight").alias("w"))
             )
-            # dominant label per vertex: max weight, ties → smallest label
-            dominant = hist.groupBy("dst").agg(
-                F.max_by(
-                    F.col("nbr_label"), F.struct(F.col("w"), -F.col("nbr_label"))
-                ).alias("dom_label"),
-                F.max("w").alias("dom_w"),
-            )
-            # current label's own weight (to update only on strict improvement
-            # and to evaluate the reference's dominance convergence criterion)
-            cur_w = (
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("cur"))
-                .join(hist, ["dst"])
-                .filter(F.col("nbr_label") == F.col("cur"))
-                .select("dst", F.col("w").alias("cur_w"))
-            )
-            upd = dominant.join(cur_w, "dst", "left").select(
-                "dst",
-                "dom_label",
-                (F.col("dom_w") > F.coalesce("cur_w", F.lit(0.0))).alias("improves"),
+            # attach the updating vertex's CURRENT label to its
+            # histogram rows, then fold dominant label AND the current
+            # label's own weight into ONE per-dst aggregate (r6: the
+            # old plan ran a second hist-size join + filter just for
+            # cur_w and joined the two back together — one histogram
+            # exchange and one join fewer per sweep, same values:
+            # sum(w | nbr_label == cur) is exactly the filtered row's
+            # w, and NULL→0 when the current label got no votes).
+            cur = labels.select(F.col("id").alias("dst"), F.col("label").alias("cur"))
+            upd = (
+                hist.join(cur, "dst")
+                .groupBy("dst")
+                .agg(
+                    F.max_by(
+                        F.col("nbr_label"), F.struct(F.col("w"), -F.col("nbr_label"))
+                    ).alias("dom_label"),
+                    F.max("w").alias("dom_w"),
+                    F.sum(
+                        F.when(F.col("nbr_label") == F.col("cur"), F.col("w"))
+                    ).alias("cur_w"),
+                )
+                .select(
+                    "dst",
+                    "dom_label",
+                    (F.col("dom_w") > F.coalesce("cur_w", F.lit(0.0))).alias("improves"),
+                )
             )
             eligible = (
                 F.lit(True)
@@ -200,7 +221,9 @@ def label_propagation(
                 RuntimeWarning,
             )
 
-    return renumber_first_appearance(labels.select("id", "label"))
+        # renumbering's eager steps (rank minting, counts) share the
+        # loop's conf scope — fixed shapes, no AQE re-planning
+        return renumber_first_appearance(labels.select("id", "label"))
 
 
 def renumber_first_appearance(labels: DataFrame) -> DataFrame:
@@ -220,12 +243,15 @@ def renumber_first_appearance(labels: DataFrame) -> DataFrame:
         F.min("id").alias("first_id")
     )
     ranked = zip_dense_ids(firsts, ["first_id"], out_col="new_label")
-    k = ranked.count()
     labeled = labels.join(ranked.select("label", "new_label"), "label").select(
         "id", F.col("new_label").alias("label")
     )
     unlabeled = labels.filter(F.col("label").isNull()).select("id")
     if unlabeled.limit(1).count() > 0:
+        # k (the rank count) is only needed to offset the fresh labels
+        # of never-labeled vertices — skip the extra count job in the
+        # common all-labeled case
+        k = ranked.count()
         fresh = zip_dense_ids(unlabeled, ["id"], out_col="label", start=k)
         labeled = labeled.unionByName(fresh.select("id", "label"))
     return labeled

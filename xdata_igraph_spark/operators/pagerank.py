@@ -89,76 +89,6 @@ def pagerank(
     n = graph.vcount()
     if n == 0:
         raise ValueError("pagerank on empty graph")
-
-    # --- one-time edge prep (the only edge-size shuffle of the job) ---
-    adj = graph.adjacency("out").filter(F.col("src") != F.col("dst"))
-    if not weighted:
-        adj = adj.withColumn("weight", F.lit(1.0))
-        outs = adj.groupBy("src").agg(F.sum("weight").alias("outs"))
-    else:
-        # clamp negatives inline and fold the negative-weight probe into
-        # the out-strength aggregate: ONE edge-size pass computes both
-        # (r1 spent a separate edge-scan action on the probe), and the
-        # materialized vertex-size `outs` is reused by contrib AND the
-        # dangling-flag base below instead of being recomputed twice.
-        clamped = F.greatest(F.col("weight"), F.lit(0.0))
-        outs = (
-            adj.groupBy("src")
-            .agg(F.sum(clamped).alias("outs"), F.min("weight").alias("_minw"))
-            .localCheckpointFlat(eager=True)
-            # fresh exprIds: the LogicalRDD keeps the upstream attribute
-            # ids, which would collide with adj's own `src` in the join
-            .select(*(F.col(c).alias(c) for c in ["src", "outs", "_minw"]))
-        )
-        minw = outs.agg(F.min("_minw")).first()[0]
-        if minw is not None and minw < 0:
-            warnings.warn(
-                "negative weights clamped to 0 (igraph semantics, "
-                "src/centrality.c:1451-1455)"
-            )
-        outs = outs.drop("_minw")
-        adj = adj.withColumn("weight", clamped)
-    # localCheckpoint (not persist): materializes AND truncates the
-    # plan to a LogicalRDD. With persist alone, every superstep's
-    # Catalyst analysis re-walks the full ingest lineage (UDF
-    # extraction, id minting) — measured 5-10x per-iteration overhead
-    # on corpus-derived graphs.
-    contrib = (
-        adj.join(outs, "src")
-        .filter(F.col("outs") > 0)
-        .select("src", "dst", (F.col("weight") / F.col("outs")).alias("p"))
-    )
-    if bucket_edges:
-        from xdata_igraph_spark.plans.layout import bucketize
-
-        contrib = bucketize(contrib, ["src"], name="pr_contrib")
-    else:
-        contrib = contrib.repartition("src").localCheckpointFlat(eager=True)
-
-    # --- vertex base: reset distribution + dangling flag ---
-    verts = graph.vertices()
-    out_ids = outs.filter(F.col("outs") > 0).select(F.col("src").alias("id"))
-    base = verts.join(
-        out_ids.withColumn("_nd", F.lit(True)), "id", "left"
-    ).select("id", F.coalesce("_nd", F.lit(False)).alias("non_dangling"))
-
-    if reset is not None:
-        tot = reset.agg(F.sum("reset")).first()[0]
-        if tot is None or tot <= 0:
-            raise ValueError(
-                "reset vector must have positive sum "
-                "(igraph errors on all-zero reset, src/centrality.c:1397-1406)"
-            )
-        rdf = reset.select("id", (F.col("reset") / F.lit(float(tot))).alias("reset"))
-        base = base.join(rdf, "id", "left").select(
-            "id", "non_dangling", F.coalesce("reset", F.lit(0.0)).alias("reset")
-        )
-    else:
-        base = base.withColumn("reset", F.lit(1.0 / n))
-    # lazy: the pre-loop scalar aggregate below is the first action and
-    # materializes the checkpoint as a side effect — one fewer prep job
-    base = base.repartition("id").localCheckpointFlat(eager=False)
-
     runner = runner or SuperstepRunner(
         spark,
         "pagerank",
@@ -170,6 +100,92 @@ def pagerank(
             f"|norm={norm}|personalized={reset is not None}"
         ),
     )
+
+    # prep also runs AQE-free (same fixed shapes; see loop_conf)
+    with runner.loop_conf():
+        # --- one-time edge prep (the only edge-size shuffle of the job) ---
+        adj = graph.adjacency("out").filter(F.col("src") != F.col("dst"))
+        if not weighted:
+            adj = adj.withColumn("weight", F.lit(1.0))
+            outs = adj.groupBy("src").agg(F.sum("weight").alias("outs"))
+        else:
+            # clamp negatives inline and fold the negative-weight probe into
+            # the out-strength aggregate: ONE edge-size pass computes both
+            # (r1 spent a separate edge-scan action on the probe), and the
+            # materialized vertex-size `outs` is reused by contrib AND the
+            # dangling-flag base below instead of being recomputed twice.
+            clamped = F.greatest(F.col("weight"), F.lit(0.0))
+            outs = (
+                adj.groupBy("src")
+                .agg(F.sum(clamped).alias("outs"), F.min("weight").alias("_minw"))
+                .localCheckpointFlat(eager=True)
+                # fresh exprIds: the LogicalRDD keeps the upstream attribute
+                # ids, which would collide with adj's own `src` in the join
+                .select(*(F.col(c).alias(c) for c in ["src", "outs", "_minw"]))
+            )
+            minw = outs.agg(F.min("_minw")).first()[0]
+            if minw is not None and minw < 0:
+                warnings.warn(
+                    "negative weights clamped to 0 (igraph semantics, "
+                    "src/centrality.c:1451-1455)"
+                )
+            outs = outs.drop("_minw")
+            adj = adj.withColumn("weight", clamped)
+        # localCheckpoint (not persist): materializes AND truncates the
+        # plan to a LogicalRDD. With persist alone, every superstep's
+        # Catalyst analysis re-walks the full ingest lineage (UDF
+        # extraction, id minting) — measured 5-10x per-iteration overhead
+        # on corpus-derived graphs.
+        contrib = (
+            adj.join(outs, "src")
+            .filter(F.col("outs") > 0)
+            .select("src", "dst", (F.col("weight") / F.col("outs")).alias("p"))
+        )
+        if bucket_edges and checkpoint_dir is not None:
+            # durable resumable runs: the bucketed+sorted table IS the
+            # cluster layout (a bucketed Iceberg/Hive table surviving
+            # executor loss); its one-time write amortizes over a long
+            # convergence run
+            from xdata_igraph_spark.plans.layout import bucketize
+
+            contrib = bucketize(contrib, ["src"], name="pr_contrib")
+        else:
+            # exchange-free edge side without the table write: a stock
+            # eager localCheckpoint PRESERVES the hash partitioning (the
+            # flat/severed wrap would drop it and re-exchange the edge
+            # table every superstep), so the per-superstep join plan is
+            # identical to the bucketed scan — measured r6: same plan
+            # (2 Exchange / 3 Sort per superstep), ~2s less one-time prep
+            # at bench scale, and the block-manager scan is faster than
+            # re-reading parquet
+            n_parts = int(
+                spark.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+            contrib = contrib.repartition(n_parts, "src").localCheckpoint(eager=True)
+
+        # --- vertex base: reset distribution + dangling flag ---
+        verts = graph.vertices()
+        out_ids = outs.filter(F.col("outs") > 0).select(F.col("src").alias("id"))
+        base = verts.join(
+            out_ids.withColumn("_nd", F.lit(True)), "id", "left"
+        ).select("id", F.coalesce("_nd", F.lit(False)).alias("non_dangling"))
+
+        if reset is not None:
+            tot = reset.agg(F.sum("reset")).first()[0]
+            if tot is None or tot <= 0:
+                raise ValueError(
+                    "reset vector must have positive sum "
+                    "(igraph errors on all-zero reset, src/centrality.c:1397-1406)"
+                )
+            rdf = reset.select("id", (F.col("reset") / F.lit(float(tot))).alias("reset"))
+            base = base.join(rdf, "id", "left").select(
+                "id", "non_dangling", F.coalesce("reset", F.lit(0.0)).alias("reset")
+            )
+        else:
+            base = base.withColumn("reset", F.lit(1.0 / n))
+        # lazy: the pre-loop scalar aggregate below is the first action and
+        # materializes the checkpoint as a side effect — one fewer prep job
+        base = base.repartition("id").localCheckpointFlat(eager=False)
 
     resumed = runner.resume()
     if resumed is not None:

@@ -25,6 +25,8 @@ re-evaluation of the ranked rows and silently scramble ids.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -48,9 +50,13 @@ def zip_dense_ids(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = df.columns
     part = df.repartitionByRange(num_partitions, *order_cols)
+    # lazy checkpoint: the counts collect right below is the first
+    # action and materializes it — ONE evaluation (the freeze the
+    # module docstring requires) with one fewer Spark job than an
+    # eager checkpoint followed by the collect
     with_pid = part.select(
         F.spark_partition_id().alias("_pid"), *cols
-    ).localCheckpointFlat(eager=True)
+    ).localCheckpointFlat(eager=False)
     counts = {
         r["_pid"]: r["cnt"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
@@ -63,8 +69,17 @@ def zip_dense_ids(
         return df.withColumn(out_col, F.lit(None).cast("long")).filter(F.lit(False))
     offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
     rn = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
-    return (
+    out = (
         with_pid.withColumn("_rn", rn)
         .join(F.broadcast(offsets_df), "_pid")
         .select(*cols, (F.col("_offset") + F.col("_rn") - 1).alias(out_col))
     )
+    # the per-partition counts already told us the exact row count for
+    # free — when the ranked table is small, stamp a broadcast hint so
+    # the caller's join-back skips shuffling its (much larger) side.
+    # Data-derived, not a local tune: at crawl scale the count is huge
+    # and the hint is not applied. Threshold overridable via env.
+    bcast_rows = int(os.environ.get("SPARK_GRAFT_IDS_BROADCAST_ROWS", "4000000"))
+    if acc - start <= bcast_rows:
+        out = out.hint("broadcast")
+    return out

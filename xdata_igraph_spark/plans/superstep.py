@@ -119,6 +119,9 @@ class SuperstepRunner:
         self._generations: list[set[int]] = []
         self._window_dfs: list[DataFrame] = []
         self._last_was_cut = False
+        # loop-scoped codegen tuning (see loop_conf/_tune_loop_codegen)
+        self._codegen_scope: str | None = None
+        self._codegen_tuned = False
 
     # -------------- durable checkpoint layout --------------
 
@@ -184,17 +187,64 @@ class SuperstepRunner:
         conf = self.spark.conf
         disable = os.environ.get("SPARK_GRAFT_LOOP_AQE", "off") != "on"
         prev = None
+        prev_codegen = None
+        try:
+            prev_codegen = conf.get("spark.sql.codegen.wholeStage")
+        except Exception:
+            prev_codegen = "true"
         if disable:
             try:
                 prev = conf.get("spark.sql.adaptive.enabled")
             except Exception:
                 prev = "true"
             conf.set("spark.sql.adaptive.enabled", "false")
+        self._codegen_scope = prev_codegen
         try:
             yield
         finally:
+            self._codegen_scope = None
+            conf.set("spark.sql.codegen.wholeStage", prev_codegen)
             if disable and prev is not None:
                 conf.set("spark.sql.adaptive.enabled", prev)
+
+    def _tune_loop_codegen(self) -> None:
+        """Scale-adaptive whole-stage-codegen choice, decided once per
+        loop from the measured size of the loop's cached static tables.
+
+        Superstep plans embed iteration-dependent literals (PageRank's
+        teleport scalar, LPA's sweep parity), so every superstep's
+        generated source is unique and Janino recompiles the whole
+        plan each iteration — a fixed driver-side cost per superstep at
+        ANY cluster size. Whether that compile pays for itself depends
+        only on rows per superstep: below a few hundred MB of loop
+        data the interpreted path finishes before the compiler does
+        (measured r6: LPA sweeps 2.2s → 0.5s at bench scale), while at
+        cluster scale the per-row codegen speedup dwarfs the compile.
+        The decision input is the block-manager footprint of the
+        just-materialized loop statics (edge/contribution tables) —
+        derived from the data, not from the core count. Threshold
+        overridable via SPARK_GRAFT_LOOP_CODEGEN_BYTES; set it to 0 to
+        always keep codegen on.
+        """
+        if getattr(self, "_codegen_scope", None) is None:
+            return  # not inside loop_conf
+        if getattr(self, "_codegen_tuned", False):
+            return
+        self._codegen_tuned = True
+        try:
+            threshold = int(
+                os.environ.get(
+                    "SPARK_GRAFT_LOOP_CODEGEN_BYTES", str(256 * 1024 * 1024)
+                )
+            )
+            if threshold <= 0:
+                return
+            infos = self.spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            cached_bytes = sum(i.memSize() + i.diskSize() for i in infos)
+            if cached_bytes < threshold:
+                self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        except Exception:
+            pass  # keep codegen on if storage introspection fails
 
     def materialize(
         self, state: DataFrame, iteration: int, force_durable: bool = False
@@ -202,6 +252,9 @@ class SuperstepRunner:
         """Cut lineage; on cadence also write the durable checkpoint.
         Call ``finish_iteration`` afterwards with the measured delta."""
         self._iter_t0 = time.monotonic()
+        # first superstep: the loop's static tables are materialized by
+        # now — pick the codegen mode from their measured size
+        self._tune_loop_codegen()
         if self._protected_rdds is None:
             # everything cached before the loop's first state (edge /
             # contribution tables) is loop-static — never swept
