@@ -26,7 +26,10 @@ debugging lesson):
 - Each level runs in its own subprocess (a JVM's master is fixed at
   startup).
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/scaling_run_latest.md (merged into the curated
+BENCH/BASELINE.md by hand — the curated file carries the cross-round
+measurement history, which a raw run must not clobber) and prints one
+JSON line.
 
 - **Interleaved repetitions**: the two levels run A/B/A/B… so slow
   windows of the shared VM hit both levels equally; steady-state
@@ -169,7 +172,7 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    md = f"""# BENCH/BASELINE.md — measured scaling evidence
+    md = f"""# BENCH/scaling_run_latest.md — raw scaling run report
 
 North rule: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Sandbox stand-in (per BASELINE.md): the identical PageRank
@@ -217,7 +220,7 @@ Pooled steady per-superstep times (ms):
 - local[{lo}]: {levels[lo]["iter_ms"]}
 - local[{hi}]: {levels[hi]["iter_ms"]}
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_run_latest.md"), "w") as f:
         f.write(md)
 
 

@@ -125,16 +125,40 @@ def _khop_closed(graph: LinkGraph, k: int, mode: str = "all") -> DataFrame:
     """Closed k-neighborhood pairs (v, u): u within ≤ k hops of v
     following ``mode`` edges — BFS layering, each round joins only the
     newest frontier."""
-    adj = (
-        graph.adjacency(mode)
-        .select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpointFlat(eager=True)
-    )
-    reached = graph.vertices().select(
+    if mode == "all" or not graph.directed:
+        # canonical-pair build: ONE scan + ONE distinct instead of
+        # symmetrize-union (two scans of the edge lineage) + distinct
+        # over the doubled row set (see wcc)
+        canon = (
+            graph.edges.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        adj = canon.unionByName(
+            canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).localCheckpointFlat(eager=True)
+    else:
+        adj = (
+            graph.adjacency(mode)
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpointFlat(eager=True)
+        )
+    self_pairs = graph.vertices().select(
         F.col("id").alias("v"), F.col("id").alias("u")
-    ).localCheckpointFlat(eager=True)
+    )
+    if k == 1:
+        # closed 1-neighborhood directly: N[v] = {v} ∪ neighbors(v) —
+        # adj already excludes loops, so the union is disjoint and no
+        # BFS round, anti-join, or per-round checkpoint is needed
+        return self_pairs.unionByName(
+            adj.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        ).localCheckpointFlat(eager=True)
+    reached = self_pairs.localCheckpointFlat(eager=True)
     frontier = reached
     for _ in range(k):
         nxt = (

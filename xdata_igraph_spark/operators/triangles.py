@@ -49,10 +49,12 @@ def _oriented(graph: LinkGraph) -> DataFrame:
     (degree, id) order the reference uses (igraph_vector_order1 rank
     array, /root/reference/src/triangles.c:100-107).
     """
-    simple = _simple_undirected(graph)
+    # one materialization of the simple edge set: it feeds the degree
+    # count AND the orientation join (un-checkpointed, the union-based
+    # degree re-ran the whole upstream edge lineage per branch)
+    simple = _simple_undirected(graph).localCheckpointFlat(eager=True)
     deg = (
-        simple.select(F.col("a").alias("id"))
-        .union(simple.select(F.col("b").alias("id")))
+        simple.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
