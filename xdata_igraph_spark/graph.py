@@ -64,6 +64,14 @@ class LinkGraph:
         self._n = n
         self._vertices = vertices
         self.spark: SparkSession = edges.sparkSession
+        # lazy physical indexes (the reference builds CSR at construction,
+        # /root/reference/src/type_indexededgelist.c:258-339; here the
+        # first operator that scans the edge table more than once
+        # materializes it once and every later derivation reads the
+        # cached blocks). Holds e.g. "edges" (edges_cached) and the
+        # triangle kernels' canonical/oriented tables.
+        self._cache: dict[str, DataFrame] = {}
+        self._ecount: int | None = None
 
     # ---------------- constructors ----------------
 
@@ -98,7 +106,37 @@ class LinkGraph:
         when the edge table is derived from an expensive pipeline and
         will feed multiple operators/actions."""
         e = self.edges.localCheckpointFlat(eager=True)
-        return LinkGraph(e, directed=self.directed, n=self._n, vertices=self._vertices)
+        out = LinkGraph(e, directed=self.directed, n=self._n, vertices=self._vertices)
+        out._cache["edges"] = out.edges
+        return out
+
+    def edges_cached(self) -> DataFrame:
+        """Edge table backed by cheap-to-rescan storage.
+
+        Operators derive several tables from the edges (adjacency, out-
+        strengths, vertex set, canonical pairs ...); when the edge
+        DataFrame itself is the product of a pipeline (aggregations,
+        joins, extraction), every derivation re-executes that pipeline.
+        The first call materializes such a derived plan ONCE (eager
+        localCheckpoint) and memoizes it on the instance — the CSR-
+        index analogue (guide §1.2: don't recompute what you can keep).
+        Plans that are already cheap to rescan (raw file scans, local
+        relations, checkpointed RDDs) are returned as-is: for them the
+        storage layer is the cache."""
+        got = self._cache.get("edges")
+        if got is not None:
+            return got
+        plan = self.edges._jdf.queryExecution().analyzed().toString()
+        derived = any(
+            tok in plan
+            for tok in ("Join", "Aggregate", "Generate", "Window", "Expand", "Union")
+        )
+        # stock (non-severed) checkpoint: keeps the origin stats link so
+        # a small cached edge table still auto-broadcasts in one-shot
+        # joins (the severed wrap is for loops; see plans/checkpointing)
+        out = self.edges.localCheckpoint(eager=True) if derived else self.edges
+        self._cache["edges"] = out
+        return out
 
     # ---------------- vertex / edge basics ----------------
 
@@ -113,7 +151,7 @@ class LinkGraph:
         # lineage instead of two (for derived edge tables the lineage
         # is a whole pipeline, and the union re-ran it per branch)
         return (
-            self.edges.select(F.explode(F.array("src", "dst")).alias("id"))
+            self.edges_cached().select(F.explode(F.array("src", "dst")).alias("id"))
             .distinct()
         )
 
@@ -123,16 +161,19 @@ class LinkGraph:
         return self.vertices().count()
 
     def ecount(self) -> int:
-        return self.edges.count()
+        if self._ecount is None:
+            self._ecount = self.edges_cached().count()
+        return self._ecount
 
     def symmetrized(self) -> DataFrame:
         """Edges in both directions — how the reference answers
         IGRAPH_ALL-mode adjacency for undirected graphs
         (/root/reference/include/igraph_datatype.h:69-73)."""
-        rev = self.edges.select(
+        e = self.edges_cached()
+        rev = e.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
         )
-        return self.edges.union(rev)
+        return e.union(rev)
 
     def adjacency(self, mode: str = "out") -> DataFrame:
         """Directed-mode adjacency as (src, dst, weight).
@@ -143,9 +184,9 @@ class LinkGraph:
         if not self.directed or mode == "all":
             return self.symmetrized()
         if mode == "out":
-            return self.edges
+            return self.edges_cached()
         if mode == "in":
-            return self.edges.select(
+            return self.edges_cached().select(
                 F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
             )
         raise ValueError(f"bad mode {mode!r}")

@@ -60,6 +60,9 @@ def cosine_topk(
     ``probe``: optional subset of query rows (same schema); default all.
     Ordering ties broken by ascending neighbor id (deterministic).
     """
+    from xdata_igraph_spark.plans.parallel import ensure_min_parallelism
+
+    embeddings = ensure_min_parallelism(embeddings)
     # norms folded once per row on each side, not per pair (see
     # srp_topk; dot/(na*nb) over identical operands — bit-identical)
     base = embeddings.select(
@@ -153,6 +156,13 @@ def srp_topk(
     if multiprobe < 0 or multiprobe > 2:
         raise ValueError("multiprobe radius supported: 0, 1, 2")
     import itertools as _it
+
+    from xdata_igraph_spark.plans.parallel import ensure_min_parallelism
+
+    # the n_tables x n_planes x dim bucket dot products and the rerank's
+    # vector folds all fuse into this input's scan stage; a single-file
+    # embedding table would run them on one core (no-op at scale)
+    embeddings = ensure_min_parallelism(embeddings)
 
     # All tables' buckets in ONE pass: per-table LONG keys tagged with
     # the table id in the high bits (bucket < 2^n_planes, so
@@ -284,7 +294,11 @@ def cosine_topk_blocked(
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(matn)
 
-    q = (probe or embeddings).select(id_col, vec_col)
+    from xdata_igraph_spark.plans.parallel import ensure_min_parallelism
+
+    # spread the GEMM batches over cores when the probe side scans as
+    # a single partition (no-op at scale)
+    q = ensure_min_parallelism((probe or embeddings).select(id_col, vec_col))
 
     def block(batches):
         import pandas as pd

@@ -87,7 +87,7 @@ def wcc(
     # and deduped the doubled row set); (hi, lo) ∪ (lo, hi) with
     # hi != lo can contain no duplicates, so no second distinct
     canon = (
-        graph.edges.select(
+        graph.edges_cached().select(
             F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
         )
         .filter(F.col("src") != F.col("dst"))
@@ -97,13 +97,22 @@ def wcc(
         canon.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     with runner.loop_conf():
+        # loop partitions from the measured edge count (see pagerank)
+        runner.tune_loop_partitions(graph.ecount())
         if bucket_edges:
             from xdata_igraph_spark.plans.layout import bucketize
 
             sym = bucketize(sym, ["src"], name="wcc_sym")
         else:
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            sym = sym.repartition(n_parts, "src").localCheckpoint(eager=True)
+            # partition AND sort once: supersteps then stream the edge
+            # side of the sort-merge join with no per-superstep sort
+            # (see pagerank's contrib checkpoint)
+            sym = (
+                sym.repartition(n_parts, "src")
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
+            )
     resumed = runner.resume()
     if resumed is not None:
         labels, start = resumed

@@ -116,6 +116,12 @@ def minhash_signatures(
             F.size(sh) > 0, F.array(F.aggregate(sh, init, _merge))
         ).otherwise(F.array().cast("array<array<long>>")),
     )
+    from xdata_igraph_spark.plans.parallel import ensure_min_parallelism
+
+    # the whole signature fold fuses into the input's scan stage; a
+    # single-file corpus would otherwise hash every shingle of every
+    # document on one core (plans/parallel.py — no-op at scale)
+    docs = ensure_min_parallelism(docs)
     return docs.select("doc_id", F.explode(sig_or_empty).alias("sig"))
 
 
@@ -185,8 +191,11 @@ def ngram_jaccard_pairs(
       sizes, independent of shingle skew; candidates that share no
       shingle come back with jaccard 0 before thresholding.
     """
+    from xdata_igraph_spark.plans.parallel import ensure_min_parallelism
+
     sh = (
-        docs.select("doc_id", F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh"))
+        ensure_min_parallelism(docs)
+        .select("doc_id", F.explode(_shingles(F.col(text_col), shingle_n)).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -266,7 +275,11 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     LongType value the UDF produced. Deterministic and portable: DuckDB
     computes the identical value (the driver oracle).
     """
-    toks = docs.select(
+    from xdata_igraph_spark.plans.parallel import ensure_min_parallelism
+
+    # tokenize+md5 fuse into the scan stage — spread a single-file
+    # corpus across cores first (no-op at scale; plans/parallel.py)
+    toks = ensure_min_parallelism(docs).select(
         "doc_id", F.explode(_tokens(F.col(text_col))).alias("w")
     )
     hx = F.md5(F.col("w"))

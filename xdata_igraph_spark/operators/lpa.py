@@ -89,13 +89,21 @@ def label_propagation(
     # (possibly expensive) edge lineage per call instead of one per
     # derivation.
     with runner.loop_conf():
+        # loop partitions from the measured edge count (see pagerank)
+        runner.tune_loop_partitions(graph.ecount())
         if bucket_edges:
             from xdata_igraph_spark.plans.layout import bucketize
 
             adj_all = bucketize(adj_all, ["src"], name="lpa_adj")
         else:
             n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-            adj_all = adj_all.repartition(n_parts, "src").localCheckpoint(eager=True)
+            # partition AND sort once so the per-sweep join streams the
+            # edge side sort-free (see pagerank's contrib checkpoint)
+            adj_all = (
+                adj_all.repartition(n_parts, "src")
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
+            )
     adj = adj_all.filter(F.col("src") != F.col("dst"))
     if graph._n is None and graph._vertices is None:
         # endpoint-derived vertex set == distinct endpoints of the
@@ -222,11 +230,17 @@ def label_propagation(
             )
 
         # renumbering's eager steps (rank minting, counts) share the
-        # loop's conf scope — fixed shapes, no AQE re-planning
-        return renumber_first_appearance(labels.select("id", "label"))
+        # loop's conf scope — fixed shapes, no AQE re-planning.
+        # initial=None seeds every vertex with its own id and updates
+        # never null a label, so the NULL-label scan is skipped
+        return renumber_first_appearance(
+            labels.select("id", "label"), may_have_nulls=initial is not None
+        )
 
 
-def renumber_first_appearance(labels: DataFrame) -> DataFrame:
+def renumber_first_appearance(
+    labels: DataFrame, may_have_nulls: bool = True
+) -> DataFrame:
     """Labels → 0..k-1 by first appearance in ascending vertex id
     (/root/reference/src/community.c:2320-2340). NULL labels (never
     labeled — isolated vertices) each become their own community,
@@ -247,7 +261,7 @@ def renumber_first_appearance(labels: DataFrame) -> DataFrame:
         "id", F.col("new_label").alias("label")
     )
     unlabeled = labels.filter(F.col("label").isNull()).select("id")
-    if unlabeled.limit(1).count() > 0:
+    if may_have_nulls and unlabeled.limit(1).count() > 0:
         # k (the rank count) is only needed to offset the fresh labels
         # of never-labeled vertices — skip the extra count job in the
         # common all-labeled case

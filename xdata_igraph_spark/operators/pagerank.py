@@ -103,6 +103,11 @@ def pagerank(
 
     # prep also runs AQE-free (same fixed shapes; see loop_conf)
     with runner.loop_conf():
+        # loop shuffle partitions derived from the measured edge count
+        # (memoized on the graph): at bench scale this collapses the
+        # per-superstep task count by ~4-8x; at cluster scale it
+        # saturates at the session's configured shuffle partitions
+        runner.tune_loop_partitions(graph.ecount())
         # --- one-time edge prep (the only edge-size shuffle of the job) ---
         adj = graph.adjacency("out").filter(F.col("src") != F.col("dst"))
         if not weighted:
@@ -123,12 +128,11 @@ def pagerank(
                 # ids, which would collide with adj's own `src` in the join
                 .select(*(F.col(c).alias(c) for c in ["src", "outs", "_minw"]))
             )
-            minw = outs.agg(F.min("_minw")).first()[0]
-            if minw is not None and minw < 0:
-                warnings.warn(
-                    "negative weights clamped to 0 (igraph semantics, "
-                    "src/centrality.c:1451-1455)"
-                )
+            # the negative-weight probe rides along in the pre-loop agg0
+            # action below (one fewer driver round trip in prep); the
+            # clamping itself is unconditional, so nothing downstream
+            # waits on the probe's value
+            minw_df = outs.agg(F.min("_minw").alias("_minw"))
             outs = outs.drop("_minw")
             adj = adj.withColumn("weight", clamped)
         # localCheckpoint (not persist): materializes AND truncates the
@@ -161,7 +165,17 @@ def pagerank(
             n_parts = int(
                 spark.conf.get("spark.sql.shuffle.partitions", "200")
             )
-            contrib = contrib.repartition(n_parts, "src").localCheckpoint(eager=True)
+            # sortWithinPartitions before the checkpoint: the LogicalRDD
+            # keeps BOTH the hash partitioning and the sort order, so
+            # every superstep's sort-merge join streams the edge side
+            # with no per-superstep sort (one prep-time sort replaces
+            # max_iter edge-size sorts; guide §2.4 — establish the
+            # layout once and reuse it)
+            contrib = (
+                contrib.repartition(n_parts, "src")
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True)
+            )
 
         # --- vertex base: reset distribution + dangling flag ---
         verts = graph.vertices()
@@ -197,12 +211,24 @@ def pagerank(
     d = float(damping)
     with runner.loop_conf():
         # scalars for the upcoming superstep: total mass S, dangling
-        # mass S_d (this first action also materializes `base`)
-        agg0 = state.agg(
+        # mass S_d (this first action also materializes `base`); the
+        # weighted path's negative-weight probe is cross-joined in —
+        # two single-row aggregates, ONE driver action
+        agg_df = state.agg(
             F.sum("rank").alias("S"),
             F.sum(F.when(~F.col("non_dangling"), F.col("rank")).otherwise(0.0)).alias("Sd"),
-        ).first()
+        )
+        if weighted:
+            agg_df = agg_df.crossJoin(minw_df)
+        agg0 = agg_df.first()
         S, Sd = float(agg0["S"]), float(agg0["Sd"])
+        if weighted:
+            minw = agg0["_minw"]
+            if minw is not None and minw < 0:
+                warnings.warn(
+                    "negative weights clamped to 0 (igraph semantics, "
+                    "src/centrality.c:1451-1455)"
+                )
 
         for it in range(start_iter, max_iter):
             sumfrom = (1.0 - d) * (S - Sd) + Sd

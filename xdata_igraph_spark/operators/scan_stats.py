@@ -51,8 +51,7 @@ def scan1(graph: LinkGraph) -> DataFrame:
         ).withColumnRenamed("scan", "scan1")
     simple = _simple_undirected(graph)
     deg = (
-        simple.select(F.col("a").alias("id"))
-        .union(simple.select(F.col("b").alias("id")))
+        simple.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("degree"))
     )

@@ -32,14 +32,26 @@ from xdata_igraph_spark.graph import LinkGraph
 
 
 def _simple_undirected(graph: LinkGraph) -> DataFrame:
-    """Canonical simple undirected edges (a > b), loops/dups dropped."""
-    return (
-        graph.edges.select(
+    """Canonical simple undirected edges (a > b), loops/dups dropped.
+
+    Materialized once per graph instance (graph._cache) — the simple
+    edge set is the shared index of every triangle/transitivity/scan
+    kernel, and a caller sequence like count_triangles → scan1 would
+    otherwise re-run the dedup scan per kernel (guide §1.2: don't
+    recompute what you can keep)."""
+    got = graph._cache.get("simple_undirected")
+    if got is not None:
+        return got
+    simple = (
+        graph.edges_cached().select(
             F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpointFlat(eager=True)
     )
+    graph._cache["simple_undirected"] = simple
+    return simple
 
 
 def _oriented(graph: LinkGraph) -> DataFrame:
@@ -47,12 +59,13 @@ def _oriented(graph: LinkGraph) -> DataFrame:
 
     Returns (lo, hi) where rank(lo) < rank(hi); rank is the lexicographic
     (degree, id) order the reference uses (igraph_vector_order1 rank
-    array, /root/reference/src/triangles.c:100-107).
+    array, /root/reference/src/triangles.c:100-107). Materialized once
+    per graph instance (see _simple_undirected).
     """
-    # one materialization of the simple edge set: it feeds the degree
-    # count AND the orientation join (un-checkpointed, the union-based
-    # degree re-ran the whole upstream edge lineage per branch)
-    simple = _simple_undirected(graph).localCheckpointFlat(eager=True)
+    got = graph._cache.get("oriented")
+    if got is not None:
+        return got
+    simple = _simple_undirected(graph)
     deg = (
         simple.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
@@ -64,16 +77,18 @@ def _oriented(graph: LinkGraph) -> DataFrame:
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
-    return e.select(
+    ori = e.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpointFlat(eager=True)
+    graph._cache["oriented"] = ori
+    return ori
 
 
 def list_triangles(graph: LinkGraph) -> DataFrame:
     """Each triangle exactly once → (v1, v2, v3) with v1 oriented-lowest
     (igraph_list_triangles, /root/reference/src/triangles.c:567-573)."""
-    ori = _oriented(graph).localCheckpointFlat(eager=True)
+    ori = _oriented(graph)
     wedge = (
         ori.alias("e1")
         .join(ori.alias("e2"), F.col("e1.hi") == F.col("e2.lo"))
@@ -115,8 +130,7 @@ def transitivity_undirected(graph: LinkGraph, nan_if_empty: bool = True) -> floa
     (igraph_transitivity_undirected, /root/reference/src/triangles.c:617-700)."""
     simple = _simple_undirected(graph)
     deg = (
-        simple.select(F.col("a").alias("id"))
-        .union(simple.select(F.col("b").alias("id")))
+        simple.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )
@@ -137,8 +151,7 @@ def transitivity_local_undirected(
     (/root/reference/src/triangles.c:60-64)."""
     simple = _simple_undirected(graph)
     deg = (
-        simple.select(F.col("a").alias("id"))
-        .union(simple.select(F.col("b").alias("id")))
+        simple.select(F.explode(F.array("a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
     )

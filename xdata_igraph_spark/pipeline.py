@@ -64,13 +64,22 @@ def pages_to_graph(
     web scale: the frontier of uncrawled urls).
     """
     vertices = build_vertices(pages)
-    edge_urls = extract_edge_urls(pages)
     src_dict = vertices.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
     dst_dict = vertices.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    # dictionary joins BEFORE the occurrence count: the aggregation then
+    # shuffles (src, dst) longs instead of url-string pairs (guide §2.3
+    # — shuffle keys, not payloads; the url→id map is a bijection over
+    # corpus pages and out-of-corpus links are dropped by the inner
+    # join either way, so the grouped counts are identical)
+    links = pages.select(
+        F.col("url").alias("src_url"),
+        F.explode(extract_links("html")).alias("dst_url"),
+    ).filter(F.col("src_url") != F.col("dst_url"))
     edges = (
-        edge_urls.join(src_dict, "src_url")
+        links.join(src_dict, "src_url")
         .join(dst_dict, "dst_url")
-        .select("src", "dst", "weight")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("weight"))
     )
     n = vertices.count()
     # materialize: the edge table is the product of UDF extraction +

@@ -121,7 +121,12 @@ class SuperstepRunner:
         self._last_was_cut = False
         # loop-scoped codegen tuning (see loop_conf/_tune_loop_codegen)
         self._codegen_scope: str | None = None
+        self._factory_scope: str | None = None
         self._codegen_tuned = False
+        # loop-scoped shuffle-partition tuning (see tune_loop_partitions)
+        self._parts_scope: str | None = None
+        self._tuned_parts: int | None = None
+        self._tuned_nocodegen = False
 
     # -------------- durable checkpoint layout --------------
 
@@ -200,12 +205,91 @@ class SuperstepRunner:
             conf.set("spark.sql.adaptive.enabled", "false")
         self._codegen_scope = prev_codegen
         try:
+            prev_factory = conf.get("spark.sql.codegen.factoryMode")
+        except Exception:
+            prev_factory = "FALLBACK"
+        self._factory_scope = prev_factory
+        # snapshot shuffle partitions so tune_loop_partitions can pin a
+        # data-derived value for the loop and have it restored on exit
+        try:
+            prev_parts = conf.get("spark.sql.shuffle.partitions")
+        except Exception:
+            prev_parts = None
+        self._parts_scope = prev_parts
+        # values tuned in an earlier scope of the SAME runner (prep vs
+        # loop are separate loop_conf blocks) carry over
+        if self._tuned_parts is not None and prev_parts is not None:
+            conf.set("spark.sql.shuffle.partitions", str(self._tuned_parts))
+        if self._tuned_nocodegen:
+            conf.set("spark.sql.codegen.wholeStage", "false")
+            conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        try:
             yield
         finally:
             self._codegen_scope = None
             conf.set("spark.sql.codegen.wholeStage", prev_codegen)
+            conf.set("spark.sql.codegen.factoryMode", prev_factory)
+            self._factory_scope = None
+            if prev_parts is not None and self._parts_scope is not None:
+                conf.set("spark.sql.shuffle.partitions", prev_parts)
+            self._parts_scope = None
             if disable and prev is not None:
                 conf.set("spark.sql.adaptive.enabled", prev)
+
+    def tune_loop_partitions(self, rows: int) -> int:
+        """Pin a scale-adaptive shuffle-partition count for the current
+        ``loop_conf`` scope, derived from the loop's measured static-
+        table row count (typically the edge/message table).
+
+        With AQE off inside loops (see loop_conf), nothing coalesces
+        the per-superstep shuffles, so a small graph at the session's
+        cluster-sized ``spark.sql.shuffle.partitions`` pays hundreds of
+        near-empty tasks per superstep — measured 2x the whole loop
+        wall time at the bench scale (guide §2.2: fewer, larger
+        partitions; this is the static analogue of AQE coalescing,
+        derived from the data, not from the core count). The target
+        rows/partition is overridable via
+        ``SPARK_GRAFT_LOOP_ROWS_PER_PART``; at cluster scale the
+        derived count saturates at the session's configured shuffle
+        partitions, which remains the cluster-side knob.
+
+        Returns the partition count now in effect. Call once per loop,
+        inside ``loop_conf``, before building the loop's partitioned
+        static tables.
+        """
+        conf = self.spark.conf
+        try:
+            sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            sess_parts = 200
+        rpp = int(os.environ.get("SPARK_GRAFT_LOOP_ROWS_PER_PART", "131072"))
+        if rpp <= 0:
+            return sess_parts
+        # sess_parts may already be a tuned value from an earlier scope
+        # of this runner; derive from the ORIGINAL session setting
+        orig = sess_parts if self._parts_scope is None else int(self._parts_scope)
+        floor = min(8, orig)
+        parts = max(floor, min(orig, (int(rows) + rpp - 1) // rpp))
+        self._tuned_parts = parts
+        if self._parts_scope is not None and parts != sess_parts:
+            conf.set("spark.sql.shuffle.partitions", str(parts))
+        # the row count also decides the loop's codegen mode up front
+        # (same trade-off as _tune_loop_codegen, which stays as the
+        # fallback for loops that never call this): below the
+        # threshold, per-superstep Janino recompilation of the unique
+        # plan costs more driver time than interpretation costs
+        # executor time. Same env knob, rows ≈ bytes/32.
+        cg_rows = int(
+            os.environ.get(
+                "SPARK_GRAFT_LOOP_CODEGEN_BYTES", str(256 * 1024 * 1024)
+            )
+        ) // 32
+        if cg_rows > 0 and int(rows) < cg_rows and not self._codegen_tuned:
+            self._codegen_tuned = True
+            self._tuned_nocodegen = True
+            conf.set("spark.sql.codegen.wholeStage", "false")
+            conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        return parts
 
     def _tune_loop_codegen(self) -> None:
         """Scale-adaptive whole-stage-codegen choice, decided once per
@@ -242,7 +326,18 @@ class SuperstepRunner:
             infos = self.spark.sparkContext._jsc.sc().getRDDStorageInfo()
             cached_bytes = sum(i.memSize() + i.diskSize() for i in infos)
             if cached_bytes < threshold:
+                self._tuned_nocodegen = True
                 self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
+                # below the threshold, ALSO skip per-expression Janino
+                # compilation (projections/orderings/predicates): each
+                # superstep is a NEW plan, so its generated classes are
+                # recompiled every iteration — measured ~0.3-0.5s of
+                # driver time per superstep at bench scale, vs ~0.1s
+                # interpreted end-to-end. At cluster scale the threshold
+                # keeps compiled expressions (per-row speed dominates).
+                self.spark.conf.set(
+                    "spark.sql.codegen.factoryMode", "NO_CODEGEN"
+                )
         except Exception:
             pass  # keep codegen on if storage introspection fails
 
