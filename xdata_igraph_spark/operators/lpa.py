@@ -139,10 +139,17 @@ def label_propagation(
     with runner.loop_conf():
         for sweep in range(max_sweeps):
             # neighbor label weight histogram per updating vertex
+            # messages repartition by dst ONCE: hash(dst) clusters
+            # (dst, nbr_label) too, so the histogram aggregate, the
+            # per-dst fold below, AND the join with `cur` all reuse this
+            # single exchange (the groupBy-planned exchange on
+            # (dst, nbr_label) forced a SECOND dst exchange before the
+            # cur join — 2 message-size exchanges per sweep instead of 1)
             hist = (
                 labels.select(F.col("id").alias("src"), F.col("label").alias("nbr_label"))
                 .filter(F.col("nbr_label").isNotNull())
                 .join(adj, "src")
+                .repartition("dst")
                 .groupBy("dst", "nbr_label")
                 .agg(F.sum("weight").alias("w"))
             )

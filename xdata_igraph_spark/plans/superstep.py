@@ -203,6 +203,31 @@ class SuperstepRunner:
             except Exception:
                 prev = "true"
             conf.set("spark.sql.adaptive.enabled", "false")
+        # no auto-broadcast inside loops: the loop's static edge side is
+        # pre-partitioned AND pre-sorted so the superstep join is
+        # exchange-free; a stats-based broadcast would REBUILD and ship
+        # that table every superstep (N shippings per run for a table
+        # that never changes — measured as wcc's whole-superstep cost at
+        # bench scale). Explicit broadcast hints (e.g. plans/ids.py's
+        # ranked table) are unaffected by the threshold.
+        try:
+            prev_bcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        except Exception:
+            prev_bcast = None
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # no runtime Bloom-filter injection inside loops: the optimizer
+        # was observed injecting a bloom_filter_agg build over the
+        # vertex state into every LPA sweep — an extra aggregation pass
+        # per superstep to pre-filter a join whose sides are the loop's
+        # own co-partitioned state/edge tables (nothing selective to
+        # exploit, rebuilt every iteration)
+        try:
+            prev_bloom = conf.get(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled"
+            )
+        except Exception:
+            prev_bloom = None
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
         self._codegen_scope = prev_codegen
         try:
             prev_factory = conf.get("spark.sql.codegen.factoryMode")
@@ -227,6 +252,12 @@ class SuperstepRunner:
             yield
         finally:
             self._codegen_scope = None
+            if prev_bcast is not None:
+                conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+            if prev_bloom is not None:
+                conf.set(
+                    "spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom
+                )
             conf.set("spark.sql.codegen.wholeStage", prev_codegen)
             conf.set("spark.sql.codegen.factoryMode", prev_factory)
             self._factory_scope = None
