@@ -185,7 +185,11 @@ def srp_topk(
         ).alias(f"b{t}")
         for t in range(n_tables)
     ]
-    b = embeddings.select(F.col(id_col).alias("id"), *bcols)
+    # lazy checkpoint: the bucket table feeds BOTH the base and the
+    # probe branch of the candidate join — without it each branch
+    # re-evaluates the n_tables x n_planes x dim projection folds
+    # (the table is (id, n_tables longs), far smaller than the input)
+    b = embeddings.select(F.col(id_col).alias("id"), *bcols).localCheckpoint(False)
 
     base = b.select(
         F.col("id").alias("neighbor_id"),
@@ -212,10 +216,19 @@ def srp_topk(
         )
     else:
         probes = base.select(F.col("neighbor_id").alias("query_id"), "key")
+    # candidate pairs are symmetric (bucket_q XOR m == bucket_n iff
+    # bucket_n XOR m == bucket_q — the probe mask set is its own
+    # mirror), so each unordered pair is kept ONCE and the exact rerank
+    # runs half as many cosine folds; both directions are emitted after
+    # scoring (dot/zip_with is commutative elementwise with the same
+    # fold order, so the mirrored cosine is bit-identical)
     cand = (
         probes.join(base, "key")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+        .select(
+            F.least("query_id", "neighbor_id").alias("query_id"),
+            F.greatest("query_id", "neighbor_id").alias("neighbor_id"),
+        )
         .distinct()
     )
     # per-vector norms once (n rows), not per candidate pair (r6: the
@@ -234,7 +247,7 @@ def srp_topk(
     nv = sides.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("nv"), F.col("nrm").alias("nn")
     )
-    scored = (
+    scored_half = (
         cand.join(qv, "query_id")
         .join(nv, "neighbor_id")
         .select(
@@ -243,6 +256,23 @@ def srp_topk(
             (_dot_expr(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))).alias("cosine"),
         )
     )
+    # both directions from ONE evaluation of the scored pairs (a union
+    # of two selects would re-run the rerank folds per branch)
+    scored = scored_half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("query_id").alias("query_id"),
+                    F.col("neighbor_id").alias("neighbor_id"),
+                ),
+                F.struct(
+                    F.col("neighbor_id").alias("query_id"),
+                    F.col("query_id").alias("neighbor_id"),
+                ),
+            )
+        ).alias("p"),
+        "cosine",
+    ).select("p.query_id", "p.neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -293,7 +293,7 @@ class SuperstepRunner:
             sess_parts = int(conf.get("spark.sql.shuffle.partitions"))
         except Exception:
             sess_parts = 200
-        rpp = int(os.environ.get("SPARK_GRAFT_LOOP_ROWS_PER_PART", "131072"))
+        rpp = int(os.environ.get("SPARK_GRAFT_LOOP_ROWS_PER_PART", "65536"))
         if rpp <= 0:
             return sess_parts
         # sess_parts may already be a tuned value from an earlier scope
