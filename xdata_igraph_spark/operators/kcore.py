@@ -89,62 +89,76 @@ def coreness(graph: LinkGraph, mode: str = "all", method: str = "hindex",
 def _coreness_hindex(graph: LinkGraph, mode: str, max_iter: int) -> DataFrame:
     """H-index fixpoint (module docstring); identical output to the
     peel — tests assert equality of both methods."""
+    from xdata_igraph_spark.plans.superstep import SuperstepRunner
+
     if mode == "all" or not graph.directed:
         adj = graph.symmetrized()
     elif mode == "out":
-        adj = graph.edges
+        adj = graph.edges_cached()
     else:
         adj = graph.adjacency("in")
-    edges = (
-        adj.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .repartition("src")
-        .localCheckpointFlat(eager=True)
-    )
-    vals = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").cast("long").alias("val")
-    )
-    verts = graph.vertices()
-    vals = (
-        verts.join(vals, "id", "left")
-        .select("id", F.coalesce("val", F.lit(0)).alias("val"))
-        .repartition("id")
-        .localCheckpointFlat(eager=True)
-    )
-    for _it in range(max_iter):
-        nbr = edges.join(
-            vals.select(F.col("id").alias("dst"), "val"), "dst"
-        ).select("src", "val")
-        # per-vertex window (keyed by src — no global exchange):
-        # h = max rank r with r-th largest neighbor value >= r
-        w = Window.partitionBy("src").orderBy(F.desc("val"))
-        h = (
-            nbr.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("val") >= F.col("rn"))
-            .groupBy("src")
-            .agg(F.max("rn").cast("long").alias("h"))
+    runner = SuperstepRunner(graph.spark, "kcore_hindex")
+    with runner.loop_conf():
+        # loop partitions from the measured edge count; AQE/broadcast/
+        # codegen handling identical to the other superstep loops
+        runner.tune_loop_partitions(graph.ecount())
+        # partition by dst — the per-superstep VALUE join's key — and
+        # sort, so each superstep streams the edge side with no
+        # exchange/sort (the old src layout re-exchanged the whole edge
+        # table by dst EVERY superstep); the dst→src h-index shuffle is
+        # the one fundamental message exchange per superstep
+        edges = (
+            adj.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .repartition("dst")
+            .sortWithinPartitions("dst")
+            .localCheckpoint(eager=True)
         )
-        new_vals = (
-            vals.join(h, vals.id == h.src, "left")
-            .select(
-                "id",
-                F.col("val").alias("_old"),
-                F.coalesce("h", F.lit(0)).alias("val"),
+        vals = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count("*").cast("long").alias("val")
+        )
+        verts = graph.vertices()
+        vals = (
+            verts.join(vals, "id", "left")
+            .select("id", F.coalesce("val", F.lit(0)).alias("val"))
+            .repartition("id")
+            .localCheckpointFlat(eager=True)
+        )
+        for _it in range(max_iter):
+            nbr = edges.join(
+                vals.select(F.col("id").alias("dst"), "val"), "dst"
+            ).select("src", "val")
+            # per-vertex window (keyed by src — no global exchange):
+            # h = max rank r with r-th largest neighbor value >= r
+            w = Window.partitionBy("src").orderBy(F.desc("val"))
+            h = (
+                nbr.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("val") >= F.col("rn"))
+                .groupBy("src")
+                .agg(F.max("rn").cast("long").alias("h"))
             )
-            .localCheckpointFlat(eager=False)
-        )
-        changed = new_vals.filter(F.col("val") != F.col("_old")).count()
-        vals = new_vals.drop("_old")
-        if changed == 0:
-            break
-    else:
-        import warnings
+            new_vals = (
+                vals.join(h, vals.id == h.src, "left")
+                .select(
+                    "id",
+                    F.col("val").alias("_old"),
+                    F.coalesce("h", F.lit(0)).alias("val"),
+                )
+            )
+            new_vals = runner.materialize(new_vals, _it)
+            changed = new_vals.filter(F.col("val") != F.col("_old")).count()
+            runner.finish_iteration(_it, float(changed))
+            vals = new_vals.drop("_old")
+            if changed == 0:
+                break
+        else:
+            import warnings
 
-        warnings.warn(
-            f"coreness h-index iteration hit max_iter={max_iter} before "
-            "fixpoint; values may overestimate coreness",
-            RuntimeWarning,
-        )
+            warnings.warn(
+                f"coreness h-index iteration hit max_iter={max_iter} before "
+                "fixpoint; values may overestimate coreness",
+                RuntimeWarning,
+            )
     return vals.select("id", F.col("val").alias("coreness"))
 
 

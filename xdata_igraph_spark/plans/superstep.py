@@ -432,7 +432,25 @@ class SuperstepRunner:
                 # Eager preserves partitioning metadata but costs a
                 # second job per superstep; measured slower on the
                 # 44.6M-edge benchmark, kept as an option.
-                out = state.localCheckpointFlat(eager=self.eager_state)
+                # The stats-origin chain is severed DETERMINISTICALLY
+                # every FLAT_EVERY-th iteration of THIS loop (not via
+                # the module-global counter): with the global counter,
+                # whether a given superstep's state kept its
+                # partitioning depended on how many unrelated
+                # checkpoints had run before — a per-run plan-shape
+                # lottery (an extra state exchange on random
+                # supersteps) that r5's verdict traced run-to-run
+                # variance to. Same chain bound, stable plans.
+                from xdata_igraph_spark.plans.checkpointing import (
+                    FLAT_EVERY,
+                    flat_local_checkpoint,
+                )
+
+                out = flat_local_checkpoint(
+                    state,
+                    eager=self.eager_state,
+                    force_flat=(iteration + 1) % FLAT_EVERY == 0,
+                )
                 self._last_was_cut = True
             elif self._last_was_cut:
                 out = state.localCheckpointFlat(eager=False)
