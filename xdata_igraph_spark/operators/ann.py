@@ -304,18 +304,18 @@ def cosine_topk_blocked(
     import numpy as np
 
     spark = embeddings.sparkSession
-    # guard BEFORE collecting: the count runs distributed, so an
-    # oversized base side raises without ever materializing GBs on the
-    # driver (the guard exists to PREVENT the driver OOM, not to
-    # describe it post-hoc)
-    base_side = embeddings.select(id_col, vec_col).localCheckpoint(eager=True)
-    n_base = base_side.count()
-    if n_base > base_limit:
+    # guard fused into the collect: limit(base_limit + 1) bounds what
+    # can ever reach the driver to the tolerated size, so an oversized
+    # base side raises after materializing AT MOST one row past the
+    # limit — same OOM protection as a separate distributed count, one
+    # Spark job instead of two (r6: the count + eager checkpoint pair
+    # this replaces tripled the query at bench scale)
+    base_rows = embeddings.select(id_col, vec_col).limit(base_limit + 1).collect()
+    if len(base_rows) > base_limit:
         raise ValueError(
-            f"base side {n_base} exceeds base_limit={base_limit}; "
+            f"base side exceeds base_limit={base_limit}; "
             "use srp_topk (bucketed) at this scale"
         )
-    base_rows = base_side.collect()
     ids = np.array([r[0] for r in base_rows], dtype=np.int64)
     mat = np.array([r[1] for r in base_rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -324,11 +324,13 @@ def cosine_topk_blocked(
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(matn)
 
-    from xdata_igraph_spark.plans.parallel import ensure_min_parallelism
-
-    # spread the GEMM batches over cores when the probe side scans as
-    # a single partition (no-op at scale)
-    q = ensure_min_parallelism((probe or embeddings).select(id_col, vec_col))
+    # NOTE: deliberately no repartition of the probe side — the BLAS
+    # GEMM kernel is so fast per batch that the exchange a repartition
+    # adds costs more than single-task execution at probe scale, and a
+    # large probe side arrives multi-partition from its file layout
+    # anyway (measured r6: a forced 32-way spread of the 200-row bench
+    # probe tripled the query)
+    q = (probe or embeddings).select(id_col, vec_col)
 
     def block(batches):
         import pandas as pd
