@@ -32,7 +32,12 @@ state avoids one exchange — the fully-severed wrap loses it (measured
 checkpoint by default and severs the chain every ``FLAT_EVERY``-th
 call: chains stay bounded at a handful of links (stats walks visit at
 most multiplicity^FLAT_EVERY nodes) while most supersteps keep the
-exchange-free state side.
+exchange-free state side. Superstep loops pass ``force_flat``
+explicitly from their OWN iteration count (SuperstepRunner.materialize)
+so that which superstep loses its partitioning is deterministic; the
+module-global counter only governs stray non-loop call sites (r6: the
+counter made the extra state exchange land on random supersteps,
+run to run).
 """
 
 from __future__ import annotations
