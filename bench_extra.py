@@ -36,14 +36,6 @@ def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
-def save_plan(df, name):
-    os.makedirs(PLAN_DIR, exist_ok=True)
-    with open(os.path.join(PLAN_DIR, name), "w") as f:
-        f.write(df._jdf.queryExecution().explainString(
-            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-        ) if False else df._jdf.queryExecution().toString())
-
-
 def save_plan_formatted(df, name):
     os.makedirs(PLAN_DIR, exist_ok=True)
     import contextlib
