@@ -126,15 +126,12 @@ class LinkGraph:
         got = self._cache.get("edges")
         if got is not None:
             return got
-        plan = self.edges._jdf.queryExecution().analyzed().toString()
-        derived = any(
-            tok in plan
-            for tok in ("Join", "Aggregate", "Generate", "Window", "Expand", "Union")
-        )
         # stock (non-severed) checkpoint: keeps the origin stats link so
         # a small cached edge table still auto-broadcasts in one-shot
         # joins (the severed wrap is for loops; see plans/checkpointing)
-        out = self.edges.localCheckpoint(eager=True) if derived else self.edges
+        from xdata_igraph_spark.plans.checkpointing import materialize_if_derived
+
+        out = materialize_if_derived(self.edges)
         self._cache["edges"] = out
         return out
 

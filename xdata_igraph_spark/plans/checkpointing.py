@@ -72,6 +72,22 @@ def flat_local_checkpoint(
         return df.localCheckpoint(eager)
 
 
+def materialize_if_derived(df: DataFrame) -> DataFrame:
+    """Eagerly checkpoint ``df`` iff its analyzed plan contains work
+    worth doing only once (aggregation/join/generation/...); plans that
+    are already cheap to rescan (raw scans, local relations,
+    checkpointed RDDs) are returned as-is. Callers that must evaluate
+    their input more than once (e.g. a range-partition sampling pass
+    followed by the real pass) use this so a derived input's pipeline
+    runs exactly once (guide §1.2)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    derived = any(
+        tok in plan
+        for tok in ("Join", "Aggregate", "Generate", "Window", "Expand", "Union")
+    )
+    return df.localCheckpoint(True) if derived else df
+
+
 def install() -> None:
     """Attach ``DataFrame.localCheckpointFlat``; idempotent."""
     if getattr(DataFrame, "localCheckpointFlat", None) is None:

@@ -49,6 +49,12 @@ def zip_dense_ids(
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = df.columns
+    # the range partitioner SAMPLES its input before the real pass — a
+    # derived input (typically a distinct/aggregate of labels or urls)
+    # would run its whole pipeline twice; materialize such inputs once
+    from xdata_igraph_spark.plans.checkpointing import materialize_if_derived
+
+    df = materialize_if_derived(df)
     part = df.repartitionByRange(num_partitions, *order_cols)
     # lazy checkpoint: the counts collect right below is the first
     # action and materializes it — ONE evaluation (the freeze the
